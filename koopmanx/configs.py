@@ -1,0 +1,192 @@
+"""The explicit configuration surface (SURVEY §5 "implicit config surface").
+
+Everything the reference hardcodes or leaves commented-out becomes a
+dataclass here: system, dictionary type, lifted dimension, data-collection
+protocol, MPC weights/horizons/bounds, formulation (Δu vs u, output vs
+lifted tracking), RLS variant, plant switch, reference signal, precision.
+
+Presets at the bottom reproduce each reference script's configuration
+(citations per field in the preset constructors).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclasses.dataclass
+class DataConfig:
+    n_step: int = 100
+    n_traj: int = 100
+    h: float = 0.05
+    u_range: Tuple[float, float] = (-2.0, 2.0)
+    x0_range: Tuple[float, float] = (-2.0, 2.0)
+    clamp_x0: bool = False
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class LiftConfig:
+    kind: str = "mlp"  # mlp | rbf | hermite | monomial | identity
+    nlift: int = 8
+    hidden: int = 100
+    rbf_type: str = "thinplate"
+    rbf_centers: str = "kmeans"  # kmeans | random
+    state_augmented: bool = False
+    zero_offset: bool = False
+    weights_path: Optional[str] = None  # .mat or .pkl
+
+
+@dataclasses.dataclass
+class MPCConfig:
+    horizon: int = 10
+    q_weight: float = 100.0
+    r_weight: float = 1e-4
+    u_min: float = -2.0
+    u_max: float = 2.0
+    delta_u: bool = False
+    du_min: float = -0.5
+    du_max: float = 0.5
+    applied_min: Optional[float] = None  # Δu mode: bounds on accumulated U0
+    applied_max: Optional[float] = None
+    track_lifted: bool = False
+    cy_index: Optional[int] = None  # track a single output channel (Tank: 1)
+    terminal_synthesis: bool = False
+    state_bounds: Optional[Tuple[float, float]] = None
+    qp_iters: int = 60
+    qp_rho: float = 0.1
+
+
+@dataclasses.dataclass
+class UpdateConfig:
+    mode: str = "rls"  # rls | storage | off
+    c_ab: float = 1e4
+    c_c: float = 1e2
+    warm_start_from_batch: bool = False
+    forgetting: float = 1.0
+    symmetrize: bool = True
+    c_pairing: str = "next"  # next (python) | same (matlab)
+
+
+@dataclasses.dataclass
+class RunConfig:
+    system: str = "duffing"
+    steps: int = 1000
+    switch_step: int = 100
+    reference: str = "constant"  # constant | sine | square | chirp | cos_sin_mix
+    reference_value: float = 1.0
+    integrator: str = "rk4"
+    dtype: str = "float32"
+    seed: int = 101
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    lift: LiftConfig = dataclasses.field(default_factory=LiftConfig)
+    mpc: MPCConfig = dataclasses.field(default_factory=MPCConfig)
+    update: UpdateConfig = dataclasses.field(default_factory=UpdateConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "RunConfig":
+        d = dict(d)
+        for key, sub in (
+            ("data", DataConfig),
+            ("lift", LiftConfig),
+            ("mpc", MPCConfig),
+            ("update", UpdateConfig),
+        ):
+            if key in d and isinstance(d[key], dict):
+                d[key] = sub(**d[key])
+        return cls(**d)
+
+    @classmethod
+    def from_json(cls, s: str) -> "RunConfig":
+        return cls.from_dict(json.loads(s))
+
+
+def duffing_nn_preset() -> RunConfig:
+    """duffing.py flagship loop: NN lift (Nlift=8), Np=Nc=10, u∈[-2,2],
+    Q=100 on outputs / R=1e-4 (costFunction :577), r≡1 (:748), RLS init
+    invG=1e4 I (:929), barQ=100 I (:946), inert plant switch."""
+    return RunConfig(
+        system="duffing",
+        steps=10000,
+        switch_step=10**9,  # the Python Duffing switch is inert (SURVEY §2.1)
+        mpc=MPCConfig(horizon=10, q_weight=100.0, r_weight=1e-4, u_min=-2, u_max=2),
+        update=UpdateConfig(mode="rls", c_ab=1e4, c_c=1e2, c_pairing="next"),
+        lift=LiftConfig(kind="mlp", nlift=8),
+    )
+
+
+def vdp_lifted_preset() -> RunConfig:
+    """vanderpol.py: lifted tracking of an encoded reference, u∈[-6,6]
+    (:542-544), RLS inits 1e5 (:874, :888), live switch at 100 (:712)."""
+    return RunConfig(
+        system="vanderpol",
+        steps=10000,
+        switch_step=100,
+        mpc=MPCConfig(
+            horizon=10, q_weight=100.0, r_weight=1e-4, u_min=-6, u_max=6,
+            track_lifted=True,
+        ),
+        update=UpdateConfig(mode="rls", c_ab=1e5, c_c=1e5, c_pairing="next"),
+        lift=LiftConfig(kind="mlp", nlift=8),
+    )
+
+
+def tank_preset() -> RunConfig:
+    """Tank_System.m: thinplate RBF Nlift=10 (:62-68), Δu formulation with
+    |Δu|<=0.5 and -8<=U0<=8 (:147-159), N=20, Q=10, R=0.001 (:117-119),
+    RLS init 1e4 (:237, :255), switch at 100 (:194), 3000 steps, Cy=[0 1]."""
+    return RunConfig(
+        system="tank",
+        steps=3000,
+        switch_step=100,
+        mpc=MPCConfig(
+            horizon=20,
+            q_weight=10.0,
+            r_weight=1e-3,
+            delta_u=True,
+            du_min=-0.5,
+            du_max=0.5,
+            applied_min=-8.0,
+            applied_max=8.0,
+            cy_index=1,
+        ),
+        update=UpdateConfig(mode="rls", c_ab=1e4, c_c=1e4, c_pairing="same"),
+        lift=LiftConfig(kind="rbf", nlift=10, rbf_type="thinplate", rbf_centers="random"),
+        data=DataConfig(u_range=(-5.0, 5.0), clamp_x0=True),
+    )
+
+
+def revise2_duffing_preset() -> RunConfig:
+    """Revise_2/Koopman_update.m: state-augmented NN lift with zero offset
+    (:67), N=10, Q=10 I2, R=0.01 (:115-117), u∈[-2,2] (:215), RLS
+    warm-started from the batch Gram (:264-265), per-step terminal
+    synthesis (:314-381), 100 steps, MATLAB RK4 variant."""
+    return RunConfig(
+        system="duffing",
+        steps=100,
+        switch_step=100,
+        integrator="rk4_matlab",
+        mpc=MPCConfig(
+            horizon=10, q_weight=10.0, r_weight=0.01, u_min=-2, u_max=2,
+            terminal_synthesis=True,
+        ),
+        update=UpdateConfig(
+            mode="rls", warm_start_from_batch=True, c_pairing="same"
+        ),
+        lift=LiftConfig(
+            kind="mlp", nlift=10, state_augmented=True, zero_offset=True,
+            weights_path="/root/reference/Revise_2/duffing_weights.mat",
+        ),
+    )
+
+
+PRESETS = {
+    "duffing": duffing_nn_preset,
+    "vanderpol": vdp_lifted_preset,
+    "tank": tank_preset,
+    "revise2_duffing": revise2_duffing_preset,
+}

@@ -1,0 +1,148 @@
+"""L4 — batched first-order QP solver (OSQP-style ADMM).
+
+Replaces MATLAB ``quadprog`` (active-set, ``Tank_System.m:158``) and
+scipy L-BFGS-B (``duffing.py:776-778``) with a TPU-idiomatic solver:
+
+  minimize 1/2 x'Px + q'x   s.t.  l <= Ax <= u
+
+ADMM iteration (Stellato et al., OSQP):
+  (P + sigma I + rho A'A) xt = sigma x - q + A'(rho z - y)
+  x+ = alpha xt + (1-alpha) x
+  z+ = clip(alpha A xt + (1-alpha) z + y/rho, l, u)
+  y+ = y + rho (alpha A xt + (1-alpha) z - z+)
+
+Design for the MXU: the KKT matrix is factorized (or inverted) ONCE per
+control step — an O(nx^3) op on a <=20x20 matrix — and the fixed-count
+iteration body is nothing but small GEMVs, so a ``vmap`` over 10^4 scenarios
+turns each iteration into a handful of (batch, nx) x (nx, nx) batched
+matmuls. Fixed iteration counts keep the program branch-free under ``jit``
+(no data-dependent control flow; SURVEY §7.4 "quadprog semantics" risk is
+handled by running enough iterations and validating against a CPU oracle in
+tests).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..types import QPData, QPSolution
+
+
+class ADMMConfig(NamedTuple):
+    iters: int = 100
+    rho: float = 1.0
+    sigma: float = 1e-6
+    alpha: float = 1.6
+
+
+def _kkt_inverse(qp: QPData, cfg: ADMMConfig) -> Array:
+    m = qp.P + cfg.sigma * jnp.eye(qp.P.shape[-1], dtype=qp.P.dtype)
+    m = m + cfg.rho * qp.A.T @ qp.A
+    return jnp.linalg.inv(m)
+
+
+def solve_qp(
+    qp: QPData,
+    cfg: ADMMConfig = ADMMConfig(),
+    x0: Optional[Array] = None,
+    y0: Optional[Array] = None,
+) -> QPSolution:
+    """Solve one QP with a fixed number of ADMM iterations.
+
+    Warm starting (``x0``/``y0``) carries the previous control step's
+    solution — the closed-loop engine shifts it by one step, which typically
+    halves the iterations needed for a given tracking tolerance.
+    """
+    nx = qp.P.shape[-1]
+    nc = qp.A.shape[-2]
+    dtype = qp.P.dtype
+    x = jnp.zeros((nx,), dtype) if x0 is None else x0
+    y = jnp.zeros((nc,), dtype) if y0 is None else y0
+    z = jnp.clip(qp.A @ x, qp.l, qp.u)
+
+    kkt_inv = _kkt_inverse(qp, cfg)
+    rho, sigma, alpha = cfg.rho, cfg.sigma, cfg.alpha
+
+    def body(carry, _):
+        x, z, y = carry
+        rhs = sigma * x - qp.q + qp.A.T @ (rho * z - y)
+        xt = kkt_inv @ rhs
+        axt = qp.A @ xt
+        x_new = alpha * xt + (1.0 - alpha) * x
+        z_mid = alpha * axt + (1.0 - alpha) * z
+        z_new = jnp.clip(z_mid + y / rho, qp.l, qp.u)
+        y_new = y + rho * (z_mid - z_new)
+        return (x_new, z_new, y_new), None
+
+    (x, z, y), _ = jax.lax.scan(body, (x, z, y), None, length=cfg.iters)
+
+    ax = qp.A @ x
+    primal = jnp.max(jnp.abs(ax - jnp.clip(ax, qp.l, qp.u)))
+    dual = jnp.max(jnp.abs(qp.P @ x + qp.q + qp.A.T @ y))
+    return QPSolution(
+        x=x,
+        z=z,
+        y=y,
+        primal_res=primal,
+        dual_res=dual,
+        iterations=jnp.asarray(cfg.iters),
+    )
+
+
+def solve_qp_batch(qp: QPData, cfg: ADMMConfig = ADMMConfig(), x0=None, y0=None):
+    """vmapped batch solve: every leaf of ``qp`` has a leading batch dim."""
+    fn = partial(solve_qp, cfg=cfg)
+    in_axes = (0, 0 if x0 is not None else None, 0 if y0 is not None else None)
+    return jax.vmap(lambda q, a, b: fn(q, x0=a, y0=b), in_axes=in_axes)(qp, x0, y0)
+
+
+def solve_box_qp(
+    p: Array,
+    q: Array,
+    lo: Array,
+    hi: Array,
+    cfg: ADMMConfig = ADMMConfig(),
+    x0: Optional[Array] = None,
+    y0: Optional[Array] = None,
+) -> QPSolution:
+    """Box-constrained fast path (A = I): the KKT solve shrinks to
+    (P + (sigma+rho) I)^{-1} and no constraint matmuls are needed.
+
+    This is the hot path for the Duffing/VDP loops whose only constraints
+    are input bounds (duffing.py:636 bounds ±2, vanderpol.py:542 ±6).
+    """
+    nx = p.shape[-1]
+    dtype = p.dtype
+    x = jnp.zeros((nx,), dtype) if x0 is None else x0
+    y = jnp.zeros((nx,), dtype) if y0 is None else y0
+    z = jnp.clip(x, lo, hi)
+
+    rho, sigma, alpha = cfg.rho, cfg.sigma, cfg.alpha
+    kkt_inv = jnp.linalg.inv(
+        p + (sigma + rho) * jnp.eye(nx, dtype=dtype)
+    )
+
+    def body(carry, _):
+        x, z, y = carry
+        rhs = sigma * x - q + rho * z - y
+        xt = kkt_inv @ rhs
+        x_mid = alpha * xt + (1.0 - alpha) * z
+        z_new = jnp.clip(x_mid + y / rho, lo, hi)
+        y_new = y + rho * (x_mid - z_new)
+        return (xt, z_new, y_new), None
+
+    (x, z, y), _ = jax.lax.scan(body, (x, z, y), None, length=cfg.iters)
+    primal = jnp.max(jnp.abs(x - jnp.clip(x, lo, hi)))
+    dual = jnp.max(jnp.abs(p @ z + q + y))
+    return QPSolution(
+        x=z,  # the projected iterate is the feasible solution
+        z=z,
+        y=y,
+        primal_res=primal,
+        dual_res=dual,
+        iterations=jnp.asarray(cfg.iters),
+    )

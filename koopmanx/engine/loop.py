@@ -1,0 +1,345 @@
+"""L5 — the fused closed-loop engine.
+
+One control step of the reference's per-step loop
+(``duffing.py:738-1012``, ``Tank_System.m:170-291``):
+
+  encode -> build condensed QP -> solve -> apply input -> plant step ->
+  re-encode -> RLS update of [A B] and C -> rebuild controller -> log
+
+is a single pure function ``(carry, step) -> (carry, log)``; the whole
+closed loop is one ``lax.scan`` over time, ``vmap`` batches scenarios, and
+``shard_map`` (see :mod:`koopmanx.parallel`) spreads the scenario batch
+over the device mesh. Time is inherently sequential (the RLS carry —
+SURVEY §5 "long-context"), so all throughput comes from the scenario axis.
+
+Parameter switches (the reference's ``if i > 100`` plant change) are
+branch-free ``lax.select`` schedules; the "inert" Python-Duffing switch
+(SURVEY §2.1: duffing.py reassigns a dead variable) is reproduced by
+setting ``switch_step >= steps``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..control.condensed import (
+    augment_delta_u,
+    condensed_qp,
+    prediction_matrices,
+    weight_bar,
+)
+from ..control.qp import ADMMConfig, solve_qp
+from ..control.terminal import synthesize_terminal
+from ..edmd.rls import (
+    RLSState,
+    StorageState,
+    rls_update_ab,
+    rls_update_c,
+    storage_model,
+    storage_update,
+)
+from ..lifts.base import Dictionary
+from ..systems.base import System, make_step, make_switch_schedule
+from ..types import LinearModel, model_from_rls
+
+
+class MPCParams(NamedTuple):
+    """Runtime (array-valued) MPC parameters for one scenario."""
+
+    q_block: Array  # (py, py) stage output weight
+    r_block: Array  # (m, m) stage input weight
+    u_min: Array  # (m,) decision-variable bounds (Δu bounds in delta mode)
+    u_max: Array
+    cy: Optional[Array] = None  # (py, p) output selector; None = track C z
+    applied_min: Optional[Array] = None  # Δu mode: bounds on U0 itself
+    applied_max: Optional[Array] = None
+    terminal: Optional[Array] = None  # static terminal block override
+    q_lift: Optional[Array] = None  # lifted-state weight for terminal synth
+    x_min: Optional[Array] = None  # (N*py,) stacked state box (Revise_2)
+    x_max: Optional[Array] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Static (hashable) engine configuration — the explicit config surface
+    the reference hides in commented-out constants (SURVEY §5)."""
+
+    horizon: int = 10
+    steps: int = 1000
+    h: float = 0.05
+    integrator: str = "rk4"
+    delta_u: bool = False  # Tank's incremental-input formulation
+    track_lifted: bool = False  # VDP's lifted-space tracking
+    update: str = "rls"  # 'rls' | 'storage' | 'off'
+    c_pairing: str = "next"  # 'next' (duffing.py:943) | 'same' (Tank_System.m:259)
+    rls_lambda: float = 1.0
+    symmetrize: bool = True
+    switch_step: int = 100  # plant-parameter switch (>= steps disables)
+    qp_iters: int = 60
+    qp_rho: float = 0.1
+    qp_sigma: float = 1e-6
+    qp_alpha: float = 1.6
+    terminal_synthesis: bool = False  # per-step DARE terminal (Revise_2)
+    state_bounds: bool = False  # enable Revise_2 state-box rows
+    drift_norm: str = "fro"  # 'fro' | 'spectral'
+
+    @property
+    def qp_config(self) -> ADMMConfig:
+        return ADMMConfig(
+            iters=self.qp_iters,
+            rho=self.qp_rho,
+            sigma=self.qp_sigma,
+            alpha=self.qp_alpha,
+        )
+
+
+class LoopCarry(NamedTuple):
+    x: Array  # plant state (n,)
+    u_applied: Array  # last applied input / U0 accumulator (m,)
+    model: LinearModel
+    model_prev: LinearModel
+    rls: Any  # RLSState | StorageState | None-like zeros
+    warm_x: Array  # QP primal warm start (N*m,)
+    warm_y: Array  # QP dual warm start (nc,)
+
+
+class StepLog(NamedTuple):
+    x: Array
+    u: Array
+    r: Array
+    drift_a: Array
+    drift_b: Array
+    drift_c: Array
+    residual: Array
+    qp_primal_res: Array
+    lyapunov: Array
+
+
+def _matnorm(d: Array, kind: str) -> Array:
+    if kind == "spectral":
+        return jnp.linalg.norm(d, ord=2)
+    return jnp.linalg.norm(d)
+
+
+def make_closed_loop(
+    system: System,
+    dictionary: Dictionary,
+    cfg: EngineConfig,
+    ref_fn: Callable[[Array], Array],
+):
+    """Build the fused closed-loop function for one scenario.
+
+    ``ref_fn(step) -> (horizon, py)`` produces the receding reference
+    window (reference generators live in :mod:`koopmanx.engine.ref`).
+
+    Returns ``closed_loop(params, x0, model0, rls0, theta0, theta1)``
+    -> :class:`StepLog` stacked over ``cfg.steps``. All arguments are
+    pytrees of arrays, so scenario batching is ``jax.vmap`` over any of
+    them (heterogeneous models/params/plants per scenario).
+    """
+    plant_step = make_step(system, cfg.h, cfg.integrator)
+    n, m = system.n, system.m
+    horizon = cfg.horizon
+    qp_cfg = cfg.qp_config
+
+    def one_step(params: MPCParams, carry: LoopCarry, step: Array, theta_sched):
+        x, u_prev = carry.x, carry.u_applied
+        model = carry.model
+        z = dictionary(x)
+
+        # ---- controller model (Δu augmentation happens on the *current*
+        # online-updated model, Tank_System.m:265-268) ----
+        if cfg.delta_u:
+            ctrl_model = augment_delta_u(model)
+            z_qp = jnp.concatenate([z, u_prev])
+        else:
+            ctrl_model = model
+            z_qp = z
+
+        # ---- terminal weight ----
+        if cfg.terminal_synthesis:
+            cert = synthesize_terminal(
+                model, params.q_lift, params.r_block
+            )
+            c_for_term = model.C if params.cy is None else params.cy @ model.C
+            terminal = c_for_term @ cert.p @ c_for_term.T
+            p_lyap = cert.p
+        else:
+            terminal = params.terminal
+            p_lyap = None
+
+        qbar = weight_bar(params.q_block, horizon, terminal)
+        rbar = jnp.kron(
+            jnp.eye(horizon, dtype=params.r_block.dtype), params.r_block
+        )
+
+        pred = prediction_matrices(ctrl_model, horizon, params.cy)
+        r_window = ref_fn(step)  # (horizon, py)
+        yr = r_window.reshape(-1)
+
+        # ---- extra inequality rows ----
+        a_ineq = None
+        l_ineq = None
+        u_ineq = None
+        if cfg.delta_u and params.applied_min is not None:
+            # input-magnitude constraint on U0 + Δu_0 (Tank_System.m:147-150)
+            a_first = jnp.zeros((m, horizon * m), dtype=z.dtype)
+            a_first = a_first.at[:, :m].set(jnp.eye(m, dtype=z.dtype))
+            a_ineq = a_first
+            l_ineq = params.applied_min - u_prev
+            u_ineq = params.applied_max - u_prev
+        if cfg.state_bounds and params.x_min is not None:
+            # Revise_2/Koopman_update.m:205-211 state box via F1/F2
+            f1z = pred.f1 @ z_qp
+            a_state = pred.f2
+            l_state = params.x_min - f1z
+            u_state = params.x_max - f1z
+            if a_ineq is None:
+                a_ineq, l_ineq, u_ineq = a_state, l_state, u_state
+            else:
+                a_ineq = jnp.concatenate([a_ineq, a_state], axis=0)
+                l_ineq = jnp.concatenate([l_ineq, l_state])
+                u_ineq = jnp.concatenate([u_ineq, u_state])
+
+        qp = condensed_qp(
+            pred,
+            z_qp,
+            yr,
+            qbar,
+            rbar,
+            jnp.broadcast_to(params.u_min, (horizon * m,)),
+            jnp.broadcast_to(params.u_max, (horizon * m,)),
+            a_ineq,
+            l_ineq,
+            u_ineq,
+        )
+        sol = solve_qp(qp, qp_cfg, x0=carry.warm_x, y0=carry.warm_y)
+        first_move = sol.x[:m]
+
+        if cfg.delta_u:
+            u_applied = u_prev + first_move  # U0 += ΔU (Tank_System.m:192)
+        else:
+            u_applied = first_move
+
+        # ---- plant + re-encode ----
+        theta = theta_sched(step)
+        x_next = plant_step(x, u_applied, theta)
+        z_next = dictionary(x_next)
+
+        # ---- online model update ----
+        if cfg.update == "rls":
+            rls = rls_update_ab(
+                carry.rls,
+                z,
+                u_applied,
+                z_next,
+                lam=cfg.rls_lambda,
+                symmetrize=cfg.symmetrize,
+            )
+            c_target = x_next if cfg.c_pairing == "next" else x
+            rls = rls_update_c(
+                rls,
+                z,
+                c_target,
+                lam=cfg.rls_lambda,
+                symmetrize=cfg.symmetrize,
+            )
+            new_model = model_from_rls(rls, dictionary.nlift)
+        elif cfg.update == "storage":
+            c_target = x_next if cfg.c_pairing == "next" else x
+            rls = storage_update(carry.rls, z, u_applied, z_next, c_target)
+            new_model = storage_model(rls, dictionary.nlift)
+        else:
+            rls = carry.rls
+            new_model = model
+
+        # ---- metrics ----
+        residual = jnp.linalg.norm(z_next - (model.A @ z + model.B @ u_applied))
+        drift_a = _matnorm(new_model.A - model.A, cfg.drift_norm)
+        drift_b = _matnorm(new_model.B - model.B, cfg.drift_norm)
+        drift_c = _matnorm(new_model.C - model.C, cfg.drift_norm)
+        if p_lyap is not None:
+            # V = psi(x - r)' P psi(x - r) (Revise_2/Koopman_update.m:382-384)
+            py = r_window.shape[-1]
+            ref_full = jnp.zeros((n,), dtype=x.dtype).at[:py].set(r_window[0][:n])
+            psi_err = dictionary(x - ref_full)
+            lyap = psi_err @ p_lyap @ psi_err
+        else:
+            lyap = jnp.zeros((), dtype=x.dtype)
+
+        # warm start: shift the solution one step (last move repeated)
+        warm_x = jnp.concatenate([sol.x[m:], sol.x[-m:]])
+        new_carry = LoopCarry(
+            x=x_next,
+            u_applied=u_applied,
+            model=new_model,
+            model_prev=model,
+            rls=rls,
+            warm_x=warm_x,
+            warm_y=sol.y,
+        )
+        log = StepLog(
+            x=x,
+            u=u_applied,
+            r=r_window[0],
+            drift_a=drift_a,
+            drift_b=drift_b,
+            drift_c=drift_c,
+            residual=residual,
+            qp_primal_res=sol.primal_res,
+            lyapunov=lyap,
+        )
+        return new_carry, log
+
+    def closed_loop(
+        params: MPCParams,
+        x0: Array,
+        model0: LinearModel,
+        rls0,
+        theta0=None,
+        theta1=None,
+        u0: Optional[Array] = None,
+    ) -> Tuple[LoopCarry, StepLog]:
+        th0 = system.theta0 if theta0 is None else theta0
+        th1 = system.theta1 if theta1 is None else theta1
+        dtype = x0.dtype
+        th0 = jax.tree_util.tree_map(lambda v: jnp.asarray(v, dtype), th0)
+        th1 = jax.tree_util.tree_map(lambda v: jnp.asarray(v, dtype), th1)
+        theta_sched = make_switch_schedule(th0, th1, cfg.switch_step)
+
+        n_dec = horizon * m
+        nc = n_dec
+        if cfg.delta_u and params.applied_min is not None:
+            nc += m
+        if cfg.state_bounds and params.x_min is not None:
+            nc += params.x_min.shape[0]
+        carry0 = LoopCarry(
+            x=x0,
+            u_applied=jnp.zeros((m,), dtype) if u0 is None else u0,
+            model=model0,
+            model_prev=model0,
+            rls=rls0,
+            warm_x=jnp.zeros((n_dec,), dtype),
+            warm_y=jnp.zeros((nc,), dtype),
+        )
+
+        def body(carry, step):
+            return one_step(params, carry, step, theta_sched)
+
+        return jax.lax.scan(body, carry0, jnp.arange(cfg.steps))
+
+    return closed_loop
+
+
+def run_batch(closed_loop, params, x0, model0, rls0, theta0=None, theta1=None):
+    """vmap the scenario axis: every argument may carry a leading batch dim
+    (params/models/plant parameters per scenario)."""
+    axes = (0, 0, 0, 0, None if theta0 is None else 0, None if theta1 is None else 0)
+    return jax.vmap(
+        lambda p, x, mdl, r, t0, t1: closed_loop(p, x, mdl, r, t0, t1),
+        in_axes=axes,
+    )(params, x0, model0, rls0, theta0, theta1)

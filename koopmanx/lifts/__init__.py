@@ -1,0 +1,10 @@
+from .base import Dictionary, identity_dictionary, state_augmented, zero_offset
+from .mlp import (
+    autoencoder_dictionary,
+    encoder_dictionary,
+    mlp_apply,
+    mlp_init,
+    reference_autoencoder_sizes,
+)
+from .poly import hermite_dictionary, monomial_dictionary
+from .rbf import kmeans, rbf_dictionary

@@ -1,0 +1,268 @@
+"""High-level runner: RunConfig -> built pipeline -> closed-loop results.
+
+This is the programmatic API the CLI, benchmarks and ``__graft_entry__``
+share. It wires together L0..L6 exactly as the reference scripts do
+(SURVEY §3 call stacks): collect data -> build dictionary -> batch EDMD ->
+init RLS -> fused closed loop.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from . import configs as C
+from .control.qp import ADMMConfig
+from .edmd.batch import edmd_fit, gram_stats, lift_snapshots
+from .edmd.rls import rls_init, rls_init_from_grams, storage_init
+from .engine import ref as refgen
+from .engine.loop import EngineConfig, MPCParams, make_closed_loop, run_batch
+from .lifts.base import Dictionary, identity_dictionary, state_augmented, zero_offset
+from .lifts.io import load_mat_mlp, load_torch_autoencoder
+from .lifts.mlp import encoder_dictionary, mlp_init
+from .lifts.poly import hermite_dictionary, monomial_dictionary
+from .lifts.rbf import kmeans, rbf_dictionary
+from .systems.data import Snapshots, collect
+from .systems.library import get_system
+from .types import LinearModel
+
+
+def _dtype(cfg: C.RunConfig):
+    return {"float32": jnp.float32, "float64": jnp.float64, "bfloat16": jnp.bfloat16}[
+        cfg.dtype
+    ]
+
+
+def build_dictionary(
+    cfg: C.RunConfig, data: Snapshots, key: Array
+) -> Dictionary:
+    lc = cfg.lift
+    system = get_system(cfg.system)
+    dtype = _dtype(cfg)
+    if lc.kind == "identity":
+        d = identity_dictionary(system.n)
+    elif lc.kind == "mlp":
+        if lc.weights_path and lc.weights_path.endswith(".mat"):
+            params = load_mat_mlp(lc.weights_path, dtype=dtype)
+        elif lc.weights_path and lc.weights_path.endswith(".pkl"):
+            params, _ = load_torch_autoencoder(lc.weights_path, dtype=dtype)
+        else:
+            sizes = (system.n,) + (lc.hidden,) * 3 + (lc.nlift,)
+            params = mlp_init(key, sizes, dtype=dtype)
+        d = encoder_dictionary(params, n=system.n)
+    elif lc.kind == "rbf":
+        if lc.rbf_centers == "kmeans":
+            centers, _ = kmeans(key, data.x.astype(dtype), lc.nlift)
+        else:
+            centers = jax.random.uniform(
+                key, (lc.nlift, system.n), dtype=dtype
+            )
+        d = rbf_dictionary(centers, lc.rbf_type)
+    elif lc.kind == "hermite":
+        d = hermite_dictionary()
+    elif lc.kind == "monomial":
+        d = monomial_dictionary()
+    else:
+        raise ValueError(f"unknown lift kind {lc.kind!r}")
+
+    if lc.state_augmented:
+        d = state_augmented(d, zero_offset=lc.zero_offset)
+    elif lc.zero_offset:
+        d = zero_offset(d)
+    return d
+
+
+class Pipeline(NamedTuple):
+    config: C.RunConfig
+    dictionary: Dictionary
+    data: Snapshots
+    model0: LinearModel
+    rls0: Any
+    engine_cfg: EngineConfig
+    params: MPCParams
+    closed_loop: Any  # callable
+    x_init: Array
+
+
+def _mpc_params(cfg: C.RunConfig, dictionary: Dictionary, system) -> MPCParams:
+    mc = cfg.mpc
+    dtype = _dtype(cfg)
+    if mc.track_lifted:
+        py = dictionary.nlift
+        cy = None
+    elif mc.cy_index is not None:
+        py = 1
+        cy = jnp.zeros((1, system.n), dtype).at[0, mc.cy_index].set(1.0)
+    else:
+        py = system.n
+        cy = None
+    q_block = mc.q_weight * jnp.eye(py, dtype=dtype)
+    r_block = mc.r_weight * jnp.eye(system.m, dtype=dtype)
+    if mc.delta_u:
+        u_min = jnp.full((system.m,), mc.du_min, dtype)
+        u_max = jnp.full((system.m,), mc.du_max, dtype)
+        applied_min = (
+            None if mc.applied_min is None else jnp.full((system.m,), mc.applied_min, dtype)
+        )
+        applied_max = (
+            None if mc.applied_max is None else jnp.full((system.m,), mc.applied_max, dtype)
+        )
+    else:
+        u_min = jnp.full((system.m,), mc.u_min, dtype)
+        u_max = jnp.full((system.m,), mc.u_max, dtype)
+        applied_min = applied_max = None
+    x_minmax = (None, None)
+    if mc.state_bounds is not None:
+        lo, hi = mc.state_bounds
+        x_minmax = (
+            jnp.full((mc.horizon * py,), lo, dtype),
+            jnp.full((mc.horizon * py,), hi, dtype),
+        )
+    q_lift = None
+    if mc.terminal_synthesis:
+        # Q_Lift = diag([q q 0...]) on the lifted state (Revise_2:283 region)
+        diag = jnp.zeros((dictionary.nlift,), dtype).at[: system.n].set(mc.q_weight)
+        q_lift = jnp.diag(diag)
+    return MPCParams(
+        q_block=q_block,
+        r_block=r_block,
+        u_min=u_min,
+        u_max=u_max,
+        cy=cy,
+        applied_min=applied_min,
+        applied_max=applied_max,
+        terminal=None,
+        q_lift=q_lift,
+        x_min=x_minmax[0],
+        x_max=x_minmax[1],
+    )
+
+
+def _ref_fn(cfg: C.RunConfig, dictionary: Dictionary, py: int, dtype):
+    mc = cfg.mpc
+    n = get_system(cfg.system).n
+    if cfg.reference == "constant":
+        if mc.track_lifted:
+            base = refgen.constant_state(
+                jnp.zeros((n,), dtype).at[0].set(cfg.reference_value),
+                mc.horizon,
+                dtype=dtype,
+            )
+            return refgen.encoded(base, dictionary, n)
+        return refgen.constant(
+            jnp.zeros((py,), dtype).at[0].set(cfg.reference_value),
+            mc.horizon,
+            py,
+            dtype,
+        )
+    if cfg.reference == "sine":
+        return refgen.sine(cfg.reference_value, 0.01, mc.horizon, py, dtype=dtype)
+    if cfg.reference == "square":
+        return refgen.square(cfg.reference_value, 200, mc.horizon, py, dtype=dtype)
+    if cfg.reference == "chirp":
+        return refgen.chirp(cfg.reference_value, mc.horizon, py, dtype=dtype)
+    if cfg.reference == "cos_sin_mix":
+        return refgen.cos_sin_mix(0.5, 0.007, 1.2, 0.002, mc.horizon, py, dtype=dtype)
+    raise ValueError(f"unknown reference {cfg.reference!r}")
+
+
+def build_pipeline(cfg: C.RunConfig, x_init=None) -> Pipeline:
+    system = get_system(cfg.system)
+    dtype = _dtype(cfg)
+    key = jax.random.PRNGKey(cfg.seed)
+    k_data, k_dict = jax.random.split(key)
+
+    data = collect(
+        system,
+        k_data,
+        n_step=cfg.data.n_step,
+        n_traj=cfg.data.n_traj,
+        h=cfg.data.h,
+        u_range=cfg.data.u_range,
+        x0_range=cfg.data.x0_range,
+        integrator=cfg.integrator,
+        clamp_x0=cfg.data.clamp_x0,
+        dtype=dtype,
+    )
+    dictionary = build_dictionary(cfg, data, k_dict)
+    model0 = edmd_fit(dictionary, data, method="pinv")
+
+    uc = cfg.update
+    if uc.mode == "storage" or uc.warm_start_from_batch:
+        zx, zy = lift_snapshots(dictionary, data)
+        stats = gram_stats(zx, zy, data.u, data.x)
+        rls0 = (
+            storage_init(stats)
+            if uc.mode == "storage"
+            else rls_init_from_grams(stats)
+        )
+    else:
+        rls0 = rls_init(
+            dictionary.nlift, system.m, system.n, uc.c_ab, uc.c_c, dtype
+        )
+
+    params = _mpc_params(cfg, dictionary, system)
+    py = params.q_block.shape[0]
+    ref_fn = _ref_fn(cfg, dictionary, py, dtype)
+
+    engine_cfg = EngineConfig(
+        horizon=cfg.mpc.horizon,
+        steps=cfg.steps,
+        h=cfg.data.h,
+        integrator=cfg.integrator,
+        delta_u=cfg.mpc.delta_u,
+        track_lifted=cfg.mpc.track_lifted,
+        update=uc.mode,
+        c_pairing=uc.c_pairing,
+        rls_lambda=uc.forgetting,
+        symmetrize=uc.symmetrize,
+        switch_step=cfg.switch_step,
+        qp_iters=cfg.mpc.qp_iters,
+        qp_rho=cfg.mpc.qp_rho,
+        terminal_synthesis=cfg.mpc.terminal_synthesis,
+        state_bounds=cfg.mpc.state_bounds is not None,
+    )
+    closed_loop = make_closed_loop(system, dictionary, engine_cfg, ref_fn)
+    if x_init is None:
+        x_init = jnp.full((system.n,), -2.0, dtype)  # duffing.py:650 init
+        if system.name == "tank":
+            x_init = jnp.zeros((system.n,), dtype)  # Tank_System.m:125
+    else:
+        x_init = jnp.asarray(x_init, dtype)
+    return Pipeline(
+        config=cfg,
+        dictionary=dictionary,
+        data=data,
+        model0=model0,
+        rls0=rls0,
+        engine_cfg=engine_cfg,
+        params=params,
+        closed_loop=closed_loop,
+        x_init=x_init,
+    )
+
+
+def run_single(pipe: Pipeline, theta0=None, theta1=None):
+    """Run one scenario; returns (final_carry, StepLog)."""
+    fn = jax.jit(pipe.closed_loop)
+    return fn(pipe.params, pipe.x_init, pipe.model0, pipe.rls0, theta0, theta1)
+
+
+def run_scenarios(pipe: Pipeline, batch):
+    """Run a ScenarioBatch (vmapped); returns (final_carries, StepLogs)."""
+    rep = lambda v: jnp.broadcast_to(v, (batch.x0.shape[0],) + v.shape)
+    params_b = jax.tree_util.tree_map(rep, pipe.params)
+    model_b = jax.tree_util.tree_map(rep, pipe.model0)
+    rls_b = jax.tree_util.tree_map(rep, pipe.rls0)
+    return run_batch(
+        jax.jit(pipe.closed_loop),
+        params_b,
+        batch.x0,
+        model_b,
+        rls_b,
+        batch.theta0,
+        batch.theta1,
+    )
