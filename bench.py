@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Headline benchmark: concurrent MPC solves/s on the flagship workload.
+
+Workload (BASELINE.json): batched Duffing closed loops at N=20 horizon with
+the full per-step pipeline — encode, condensed-QP build, ADMM solve, plant
+step, re-encode, RLS update of [A B] and C, controller rebuild — fused into
+one scan, vmapped over scenarios. One "solve" = one control step of one
+scenario. Baseline target: 1e4 solves/s on a v5e-8 (8 chips); vs_baseline
+reports this chip's solves/s against the per-chip share (1e4 / 8).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "solves/s", "vs_baseline": N}
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_SOLVES_PER_S_V5E8 = 1.0e4
+PER_CHIP_BASELINE = BASELINE_SOLVES_PER_S_V5E8 / 8.0
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "2048"))
+    steps = int(os.environ.get("BENCH_STEPS", "50"))
+    horizon = int(os.environ.get("BENCH_HORIZON", "20"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+
+    from koopmanx import configs as C
+    from koopmanx.engine.loop import run_batch
+    from koopmanx.engine.scenario import sample_scenarios
+    from koopmanx.run import build_pipeline
+    from koopmanx.systems import get_system
+
+    cfg = C.duffing_nn_preset()
+    cfg.steps = steps
+    cfg.dtype = "float32"
+    cfg.mpc.horizon = horizon
+    cfg.switch_step = steps // 2  # live time-varying parameters mid-run
+    cfg.data = C.DataConfig(n_step=50, n_traj=50)
+    cfg.lift = C.LiftConfig(kind="mlp", nlift=8)
+    pipe = build_pipeline(cfg)
+
+    batch_sc = sample_scenarios(
+        get_system("duffing"), jax.random.PRNGKey(0), batch=batch,
+        param_scale=0.15, dtype=jnp.float32,
+    )
+    rep = lambda v: jnp.broadcast_to(v, (batch,) + v.shape)
+    params_b = jax.tree_util.tree_map(rep, pipe.params)
+    model_b = jax.tree_util.tree_map(rep, pipe.model0)
+    rls_b = jax.tree_util.tree_map(rep, pipe.rls0)
+
+    runner = jax.jit(
+        lambda x0, t0, t1: run_batch(
+            pipe.closed_loop, params_b, x0, model_b, rls_b, t0, t1
+        )[1].x
+    )
+
+    # compile + warmup
+    out = runner(batch_sc.x0, batch_sc.theta0, batch_sc.theta1)
+    out.block_until_ready()
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = runner(batch_sc.x0, batch_sc.theta0, batch_sc.theta1)
+        out.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+
+    solves = batch * steps
+    solves_per_s = solves / best
+    per_step_ms = best / steps * 1e3
+    result = {
+        "metric": f"MPC solves/s/chip (Duffing, N={horizon} horizon, online RLS, batch={batch})",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / PER_CHIP_BASELINE, 3),
+        "detail": {
+            "batch": batch,
+            "steps": steps,
+            "wall_s": round(best, 4),
+            "per_step_latency_ms": round(per_step_ms, 3),
+            "realtime_budget_ms": 50.0,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

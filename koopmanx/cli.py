@@ -1,0 +1,157 @@
+"""Command-line interface.
+
+The reference has no CLI (everything is hardcoded scripts, SURVEY §5);
+this exposes the full config surface:
+
+  python -m koopmanx.cli run --preset tank --steps 500
+  python -m koopmanx.cli run --config my_config.json --save-log out.npz
+  python -m koopmanx.cli bench --batch 4096 --horizon 20
+  python -m koopmanx.cli presets
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def _apply_overrides(cfg, overrides):
+    for item in overrides:
+        key, _, val = item.partition("=")
+        obj = cfg
+        parts = key.split(".")
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        cur = getattr(obj, parts[-1])
+        if isinstance(cur, bool):
+            val = val.lower() in ("1", "true", "yes")
+        elif isinstance(cur, int):
+            val = int(val)
+        elif isinstance(cur, float):
+            val = float(val)
+        setattr(obj, parts[-1], val)
+    return cfg
+
+
+def cmd_run(args):
+    import jax
+    import numpy as np
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+
+    from . import configs as C
+    from .eval.metrics import steady_state_error, tracking_mse
+    from .run import build_pipeline, run_single
+
+    if args.config:
+        with open(args.config) as f:
+            cfg = C.RunConfig.from_json(f.read())
+    else:
+        cfg = C.PRESETS[args.preset]()
+    if args.steps:
+        cfg.steps = args.steps
+    cfg = _apply_overrides(cfg, args.override or [])
+
+    pipe = build_pipeline(cfg)
+    carry, log = run_single(pipe)
+    x = np.asarray(log.x)
+    u = np.asarray(log.u)
+    r = np.asarray(log.r)
+
+    if cfg.mpc.cy_index is not None:
+        y = x[:, cfg.mpc.cy_index]
+        r_head = r[:, 0]
+    elif cfg.mpc.track_lifted:
+        y = x[:, 0]
+        r_head = np.full_like(y, cfg.reference_value)
+    else:
+        y = x[:, 0]
+        r_head = r[:, 0]
+
+    summary = {
+        "system": cfg.system,
+        "steps": cfg.steps,
+        "tracking_mse": float(tracking_mse(y, r_head)),
+        "steady_state_error": float(
+            steady_state_error(y, r_head, tail=min(50, cfg.steps))
+        ),
+        "u_abs_max": float(np.abs(u).max()),
+        "mean_drift_A": float(np.asarray(log.drift_a).mean()),
+        "mean_residual": float(np.asarray(log.residual).mean()),
+        "final_state": np.asarray(carry.x).tolist(),
+    }
+    print(json.dumps(summary, indent=2))
+    if args.save_log:
+        np.savez(
+            args.save_log,
+            x=x,
+            u=u,
+            r=r,
+            drift_a=np.asarray(log.drift_a),
+            drift_b=np.asarray(log.drift_b),
+            drift_c=np.asarray(log.drift_c),
+            residual=np.asarray(log.residual),
+        )
+        print(f"log saved to {args.save_log}", file=sys.stderr)
+
+
+def cmd_bench(args):
+    import os
+
+    for k, v in (
+        ("BENCH_BATCH", args.batch),
+        ("BENCH_STEPS", args.steps),
+        ("BENCH_HORIZON", args.horizon),
+    ):
+        if v:
+            os.environ[k] = str(v)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    bench.main()
+
+
+def cmd_presets(args):
+    from . import configs as C
+
+    for name, factory in C.PRESETS.items():
+        cfg = factory()
+        print(f"{name}: {cfg.system}, steps={cfg.steps}, horizon={cfg.mpc.horizon}")
+        if args.verbose:
+            print(cfg.to_json())
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="koopmanx")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="run a closed-loop scenario")
+    pr.add_argument("--preset", default="duffing", choices=["duffing", "vanderpol", "tank", "revise2_duffing"])
+    pr.add_argument("--config", help="JSON RunConfig file")
+    pr.add_argument("--steps", type=int)
+    pr.add_argument("--override", "-o", action="append", help="dotted.key=value")
+    pr.add_argument("--save-log")
+    pr.add_argument("--cpu", action="store_true")
+    pr.add_argument("--x64", action="store_true")
+    pr.set_defaults(fn=cmd_run)
+
+    pb = sub.add_parser("bench", help="run the headline benchmark")
+    pb.add_argument("--batch", type=int)
+    pb.add_argument("--steps", type=int)
+    pb.add_argument("--horizon", type=int)
+    pb.set_defaults(fn=cmd_bench)
+
+    pp = sub.add_parser("presets", help="list reference-scenario presets")
+    pp.add_argument("--verbose", "-v", action="store_true")
+    pp.set_defaults(fn=cmd_presets)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -115,7 +115,10 @@ def duffing_nn_preset() -> RunConfig:
         switch_step=10**9,  # the Python Duffing switch is inert (SURVEY §2.1)
         mpc=MPCConfig(horizon=10, q_weight=100.0, r_weight=1e-4, u_min=-2, u_max=2),
         update=UpdateConfig(mode="rls", c_ab=1e4, c_c=1e2, c_pairing="next"),
-        lift=LiftConfig(kind="mlp", nlift=8),
+        lift=LiftConfig(
+            kind="mlp", nlift=8,
+            weights_path="/root/reference/Revise_2/duffing_weights.mat",
+        ),
     )
 
 
@@ -131,7 +134,10 @@ def vdp_lifted_preset() -> RunConfig:
             track_lifted=True,
         ),
         update=UpdateConfig(mode="rls", c_ab=1e5, c_c=1e5, c_pairing="next"),
-        lift=LiftConfig(kind="mlp", nlift=8),
+        lift=LiftConfig(
+            kind="mlp", nlift=8,
+            weights_path="/root/reference/VDP_Revise_2/Good_VDP.mat",
+        ),
     )
 
 

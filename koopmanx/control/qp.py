@@ -37,12 +37,15 @@ class ADMMConfig(NamedTuple):
     rho: float = 1.0
     sigma: float = 1e-6
     alpha: float = 1.6
+    scale_rho: bool = True  # normalize rho by trace(P)/nx (cheap Ruiz stand-in)
 
 
-def _kkt_inverse(qp: QPData, cfg: ADMMConfig) -> Array:
-    m = qp.P + cfg.sigma * jnp.eye(qp.P.shape[-1], dtype=qp.P.dtype)
-    m = m + cfg.rho * qp.A.T @ qp.A
-    return jnp.linalg.inv(m)
+def _effective_rho(p: Array, cfg: ADMMConfig) -> Array:
+    if not cfg.scale_rho:
+        return jnp.asarray(cfg.rho, p.dtype)
+    nx = p.shape[-1]
+    scale = jnp.trace(p) / nx
+    return cfg.rho * jnp.maximum(scale, jnp.asarray(1e-6, p.dtype))
 
 
 def solve_qp(
@@ -64,8 +67,10 @@ def solve_qp(
     y = jnp.zeros((nc,), dtype) if y0 is None else y0
     z = jnp.clip(qp.A @ x, qp.l, qp.u)
 
-    kkt_inv = _kkt_inverse(qp, cfg)
-    rho, sigma, alpha = cfg.rho, cfg.sigma, cfg.alpha
+    rho = _effective_rho(qp.P, cfg)
+    sigma, alpha = cfg.sigma, cfg.alpha
+    kkt = qp.P + sigma * jnp.eye(nx, dtype=dtype) + rho * qp.A.T @ qp.A
+    kkt_inv = jnp.linalg.inv(kkt)
 
     def body(carry, _):
         x, z, y = carry
@@ -121,7 +126,8 @@ def solve_box_qp(
     y = jnp.zeros((nx,), dtype) if y0 is None else y0
     z = jnp.clip(x, lo, hi)
 
-    rho, sigma, alpha = cfg.rho, cfg.sigma, cfg.alpha
+    rho = _effective_rho(p, cfg)
+    sigma, alpha = cfg.sigma, cfg.alpha
     kkt_inv = jnp.linalg.inv(
         p + (sigma + rho) * jnp.eye(nx, dtype=dtype)
     )

@@ -83,6 +83,12 @@ class EngineConfig:
     qp_rho: float = 0.1
     qp_sigma: float = 1e-6
     qp_alpha: float = 1.6
+    # 'primal' re-uses the shifted previous solution; 'full' also carries
+    # duals (only safe when the QP matrices barely change step-to-step,
+    # e.g. update='off'); 'off' solves cold. Carrying duals across the
+    # online-updated model's changing (H, A, l, u) destabilizes a
+    # fixed-iteration ADMM (observed on the Tank Δu loop).
+    qp_warm_start: str = "primal"
     terminal_synthesis: bool = False  # per-step DARE terminal (Revise_2)
     state_bounds: bool = False  # enable Revise_2 state-box rows
     drift_norm: str = "fro"  # 'fro' | 'spectral'
@@ -153,11 +159,18 @@ def make_closed_loop(
 
         # ---- controller model (Δu augmentation happens on the *current*
         # online-updated model, Tank_System.m:265-268) ----
+        ctrl_model = model
+        if cfg.track_lifted:
+            # lifted-space tracking (vanderpol.py:456-459): the tracked
+            # output is z itself, so the predictor's C is the identity
+            # (VDP_Revise_2/...m:99: C = eye(Nlift))
+            ctrl_model = ctrl_model._replace(
+                C=jnp.eye(dictionary.nlift, dtype=z.dtype)
+            )
         if cfg.delta_u:
-            ctrl_model = augment_delta_u(model)
+            ctrl_model = augment_delta_u(ctrl_model)
             z_qp = jnp.concatenate([z, u_prev])
         else:
-            ctrl_model = model
             z_qp = z
 
         # ---- terminal weight ----
@@ -217,11 +230,26 @@ def make_closed_loop(
             l_ineq,
             u_ineq,
         )
-        sol = solve_qp(qp, qp_cfg, x0=carry.warm_x, y0=carry.warm_y)
-        first_move = sol.x[:m]
+        if cfg.qp_warm_start == "full":
+            sol = solve_qp(qp, qp_cfg, x0=carry.warm_x, y0=carry.warm_y)
+        elif cfg.qp_warm_start == "primal":
+            sol = solve_qp(qp, qp_cfg, x0=carry.warm_x)
+        else:
+            sol = solve_qp(qp, qp_cfg)
+        # project the applied move onto its box (the ADMM x-iterate is only
+        # asymptotically feasible; actuator saturation is exact projection)
+        first_move = jnp.clip(sol.x[:m], params.u_min, params.u_max)
 
         if cfg.delta_u:
             u_applied = u_prev + first_move  # U0 += ΔU (Tank_System.m:192)
+            if params.applied_min is not None:
+                # exact actuator saturation: the QP's input-magnitude rows
+                # (Tank_System.m:147-150) are only asymptotically feasible
+                # under fixed-iteration ADMM; project the accumulator (this
+                # also keeps |Δu_applied| <= the Δu box).
+                u_applied = jnp.clip(
+                    u_applied, params.applied_min, params.applied_max
+                )
         else:
             u_applied = first_move
 

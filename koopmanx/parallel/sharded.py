@@ -82,9 +82,7 @@ def sharded_closed_loop(
     """
     have_theta = theta0 is not None
 
-    in_specs = [P(), P(axis), P(axis), P(axis), P(axis)]
-    if have_theta:
-        in_specs += [P(axis), P(axis)]
+    in_specs = [P(axis)] * (6 if have_theta else 4)
 
     def local_run(*args):
         if have_theta:
@@ -100,7 +98,7 @@ def sharded_closed_loop(
         return carry, logs
 
     @partial(shard_map, mesh=mesh, in_specs=tuple(in_specs),
-             out_specs=(P(axis), P(axis)))
+             out_specs=(P(axis), P(axis)), check_vma=False)
     def run(*args):
         return local_run(*args)
 

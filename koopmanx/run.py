@@ -45,6 +45,10 @@ def build_dictionary(
     if lc.kind == "identity":
         d = identity_dictionary(system.n)
     elif lc.kind == "mlp":
+        import os
+
+        if lc.weights_path and not os.path.exists(lc.weights_path):
+            lc = dataclasses.replace(lc, weights_path=None)  # fall back to random init
         if lc.weights_path and lc.weights_path.endswith(".mat"):
             params = load_mat_mlp(lc.weights_path, dtype=dtype)
         elif lc.weights_path and lc.weights_path.endswith(".pkl"):

@@ -61,15 +61,26 @@ class KMAEState(NamedTuple):
 
 
 def differentiable_edmd(
-    zx: Array, zy: Array, u: Array, ridge: float
+    zx: Array, zy: Array, u: Array, ridge: float, axis_name: Optional[str] = None
 ) -> Tuple[Array, Array]:
     """(A, B) from ``min ||V K^T - Zy||`` with V = [Zx U] via the ridge-
     regularized normal equations (differentiable; gradients flow into Zx/Zy
-    like the reference's pinv at DeepLearning...py:493-497)."""
+    like the reference's pinv at DeepLearning...py:493-497).
+
+    Under data-parallel shard_map (``axis_name`` set) the Gram matrices are
+    psum-reduced across the mesh so every shard fits against the GLOBAL
+    dataset — a per-shard fit would be underdetermined (local snapshot
+    count < nlift + m) and is the wrong semantics anyway.
+    """
     v = jnp.concatenate([zx, u], axis=-1)  # (S, N+m)
     d = v.shape[-1]
-    g = v.T @ v + ridge * jnp.eye(d, dtype=v.dtype)
-    k = jnp.linalg.solve(g, v.T @ zy).T  # (N, N+m)
+    g = v.T @ v
+    vty = v.T @ zy
+    if axis_name is not None:
+        g = jax.lax.psum(g, axis_name)
+        vty = jax.lax.psum(vty, axis_name)
+    g = g + ridge * jnp.eye(d, dtype=v.dtype)
+    k = jnp.linalg.solve(g, vty).T  # (N, N+m)
     nlift = zx.shape[-1]
     return k[:, :nlift], k[:, nlift:]
 
@@ -125,10 +136,11 @@ def kmae_loss(
     u_win: Array,
     cfg: KMAEConfig,
     rec_only: bool = False,
+    axis_name: Optional[str] = None,
 ):
     zx = mlp_apply(params.encoder, x_snap)
     zy = mlp_apply(params.encoder, y_snap)
-    a_hat, b_hat = differentiable_edmd(zx, zy, u_snap, cfg.ridge)
+    a_hat, b_hat = differentiable_edmd(zx, zy, u_snap, cfg.ridge, axis_name)
     a = cfg.eta * a_hat + (1.0 - cfg.eta) * a_prev  # DeepLearning...py:498-501
     b = cfg.eta * b_hat + (1.0 - cfg.eta) * b_prev
     l_rec, l_lin, l_pred = multi_step_loss(params, a, b, x_win, u_win, cfg)
@@ -206,6 +218,7 @@ def make_train_step(cfg: KMAEConfig, optimizer=None, axis_name: Optional[str] = 
             u_win,
             cfg,
             rec_only,
+            axis_name,
         )
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
@@ -239,9 +252,12 @@ def init_state(
     dec = mlp_init(kd, (nlift, hidden, hidden, hidden, n), dtype=dtype)
     params = KMAEParams(encoder=enc, decoder=dec)
     opt = optax.adam(cfg.lr) if optimizer is None else optimizer
-    # random (A, B) init like duffing.py:107-108
-    a0 = jax.random.uniform(ka, (nlift, nlift), dtype=dtype)
-    b0 = jax.random.uniform(kb, (nlift, 1), dtype=dtype)
+    # The reference seeds the blend with uniform random (A, B)
+    # (duffing.py:107-108) — spectral radius ~Nlift/2, which overflows the
+    # multi-step rollout in f32. Scale to spectral radius <~0.5; the first
+    # eta-blend with the EDMD refit washes the init out either way.
+    a0 = jax.random.uniform(ka, (nlift, nlift), dtype=dtype) / nlift
+    b0 = jax.random.uniform(kb, (nlift, 1), dtype=dtype) / nlift
     return KMAEState(
         params=params, opt_state=opt.init(params), a_prev=a0, b_prev=b0
     )

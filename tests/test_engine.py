@@ -1,0 +1,137 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from koopmanx import configs as C
+from koopmanx.engine.scenario import sample_scenarios
+from koopmanx.run import build_pipeline, run_scenarios, run_single
+from koopmanx.systems import get_system
+
+
+def small_duffing_cfg(**over):
+    cfg = C.duffing_nn_preset()
+    cfg.steps = over.pop("steps", 120)
+    cfg.dtype = over.pop("dtype", "float64")
+    cfg.data = C.DataConfig(n_step=40, n_traj=40)
+    cfg.lift = C.LiftConfig(
+        kind="mlp",
+        nlift=8,
+        weights_path="/root/reference/Revise_2/duffing_weights.mat",
+    )
+    for k, v in over.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def test_duffing_closed_loop_tracks_reference():
+    """End-to-end L0-L6: the online-updated Duffing loop must track r=1
+    (the reference's central scenario, duffing.py:748)."""
+    cfg = small_duffing_cfg(steps=200)
+    pipe = build_pipeline(cfg)
+    carry, log = run_single(pipe)
+    x1 = np.asarray(log.x[:, 0])
+    # after transient, x1 should settle near 1
+    assert abs(x1[-20:].mean() - 1.0) < 0.15, x1[-10:]
+    # control respects bounds
+    assert np.abs(np.asarray(log.u)).max() <= 2.0 + 1e-6
+
+
+def test_static_vs_updated_model_both_run():
+    cfg_off = small_duffing_cfg()
+    cfg_off.update = C.UpdateConfig(mode="off")
+    pipe_off = build_pipeline(cfg_off)
+    carry, log = run_single(pipe_off)
+    assert np.isfinite(np.asarray(log.x)).all()
+    # no update -> zero drift
+    assert float(jnp.max(log.drift_a)) == 0.0
+
+    cfg_on = small_duffing_cfg()
+    pipe_on = build_pipeline(cfg_on)
+    _, log_on = run_single(pipe_on)
+    assert float(jnp.max(log_on.drift_a)) > 0.0
+
+
+def test_parameter_switch_affects_trajectory():
+    cfg_a = small_duffing_cfg(steps=160, switch_step=50)
+    cfg_b = small_duffing_cfg(steps=160, switch_step=10**9)
+    pa = build_pipeline(cfg_a)
+    pb = build_pipeline(cfg_b)
+    _, la = run_single(pa)
+    _, lb = run_single(pb)
+    xa, xb = np.asarray(la.x), np.asarray(lb.x)
+    # identical before the switch takes effect, different after
+    np.testing.assert_allclose(xa[:50], xb[:50], rtol=1e-9)
+    assert np.abs(xa[60:] - xb[60:]).max() > 1e-6
+
+
+def test_storage_update_mode_runs():
+    cfg = small_duffing_cfg(steps=60)
+    cfg.update = C.UpdateConfig(mode="storage")
+    pipe = build_pipeline(cfg)
+    _, log = run_single(pipe)
+    assert np.isfinite(np.asarray(log.x)).all()
+
+
+def test_tank_delta_u_loop():
+    """Tank closed loop (Δu formulation with input constraints) tracks
+    level r=1 (Tank_System.m scenario)."""
+    cfg = C.tank_preset()
+    cfg.steps = 250
+    cfg.dtype = "float64"
+    cfg.data = C.DataConfig(
+        n_step=40, n_traj=40, u_range=(-5.0, 5.0), clamp_x0=True
+    )
+    cfg.mpc.qp_iters = 80
+    pipe = build_pipeline(cfg)
+    carry, log = run_single(pipe)
+    x2 = np.asarray(log.x[:, 1])
+    assert np.isfinite(x2).all()
+    assert abs(x2[-25:].mean() - 1.0) < 0.2, x2[-10:]
+    # Δu bounds respected: per-step input change <= 0.5
+    du = np.diff(np.asarray(log.u[:, 0]))
+    assert np.abs(du).max() <= 0.5 + 1e-6
+    # accumulated input within [-8, 8]
+    assert np.abs(np.asarray(log.u)).max() <= 8.0 + 1e-6
+
+
+def test_vdp_lifted_tracking_runs():
+    cfg = C.vdp_lifted_preset()
+    cfg.steps = 80
+    cfg.dtype = "float64"
+    cfg.data = C.DataConfig(n_step=40, n_traj=40)
+    cfg.lift = C.LiftConfig(
+        kind="mlp",
+        nlift=8,
+        weights_path="/root/reference/VDP_Revise_2/Good_VDP.mat",
+    )
+    pipe = build_pipeline(cfg)
+    _, log = run_single(pipe)
+    assert np.isfinite(np.asarray(log.x)).all()
+    assert np.abs(np.asarray(log.u)).max() <= 6.0 + 1e-6
+
+
+def test_terminal_synthesis_runs():
+    cfg = small_duffing_cfg(steps=30)
+    cfg.mpc.terminal_synthesis = True
+    pipe = build_pipeline(cfg)
+    _, log = run_single(pipe)
+    assert np.isfinite(np.asarray(log.x)).all()
+    assert np.isfinite(np.asarray(log.lyapunov)).all()
+    assert float(jnp.max(log.lyapunov)) > 0.0
+
+
+def test_scenario_batch_vmap():
+    cfg = small_duffing_cfg(steps=40, dtype="float32")
+    pipe = build_pipeline(cfg)
+    batch = sample_scenarios(
+        get_system("duffing"), jax.random.PRNGKey(0), batch=4,
+        param_scale=0.1, dtype=jnp.float32,
+    )
+    carries, logs = run_scenarios(pipe, batch)
+    assert logs.x.shape == (4, 40, 2)
+    assert np.isfinite(np.asarray(logs.x)).all()
+    # different scenarios -> different trajectories
+    assert np.abs(np.asarray(logs.x[0]) - np.asarray(logs.x[1])).max() > 1e-3
