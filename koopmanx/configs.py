@@ -35,6 +35,7 @@ class LiftConfig:
     rbf_centers: str = "kmeans"  # kmeans | random
     state_augmented: bool = False
     zero_offset: bool = False
+    normalize: bool = False  # standardize lifted features (f32 robustness)
     weights_path: Optional[str] = None  # .mat or .pkl
 
 
@@ -60,11 +61,12 @@ class MPCConfig:
 
 @dataclasses.dataclass
 class UpdateConfig:
-    mode: str = "rls"  # rls | storage | off
+    mode: str = "rls"  # rls | rls_sqrt | storage | off
     c_ab: float = 1e4
     c_c: float = 1e2
     warm_start_from_batch: bool = False
     forgetting: float = 1.0
+    ridge: float = 0.0  # rls_sqrt: per-step diagonal trickle (f32 robustness)
     symmetrize: bool = True
     c_pairing: str = "next"  # next (python) | same (matlab)
 
@@ -114,9 +116,15 @@ def duffing_nn_preset() -> RunConfig:
         steps=10000,
         switch_step=10**9,  # the Python Duffing switch is inert (SURVEY §2.1)
         mpc=MPCConfig(horizon=10, q_weight=100.0, r_weight=1e-4, u_min=-2, u_max=2),
-        update=UpdateConfig(mode="rls", c_ab=1e4, c_c=1e2, c_pairing="next"),
+        # scenario constants are the reference's; the estimator implementation
+        # defaults to the f32-robust sqrt form (the raw SM recursion is only
+        # viable in float64 — set mode="rls" + dtype="float64" for strict
+        # reference-parity numerics)
+        update=UpdateConfig(
+            mode="rls_sqrt", ridge=1e-2, c_ab=1e4, c_c=1e2, c_pairing="next"
+        ),
         lift=LiftConfig(
-            kind="mlp", nlift=8,
+            kind="mlp", nlift=8, normalize=True,
             weights_path="/root/reference/Revise_2/duffing_weights.mat",
         ),
     )
@@ -133,9 +141,11 @@ def vdp_lifted_preset() -> RunConfig:
             horizon=10, q_weight=100.0, r_weight=1e-4, u_min=-6, u_max=6,
             track_lifted=True,
         ),
-        update=UpdateConfig(mode="rls", c_ab=1e5, c_c=1e5, c_pairing="next"),
+        update=UpdateConfig(
+            mode="rls_sqrt", ridge=1e-2, c_ab=1e5, c_c=1e5, c_pairing="next"
+        ),
         lift=LiftConfig(
-            kind="mlp", nlift=8,
+            kind="mlp", nlift=8, normalize=True,
             weights_path="/root/reference/VDP_Revise_2/Good_VDP.mat",
         ),
     )
@@ -160,8 +170,13 @@ def tank_preset() -> RunConfig:
             applied_max=8.0,
             cy_index=1,
         ),
-        update=UpdateConfig(mode="rls", c_ab=1e4, c_c=1e4, c_pairing="same"),
-        lift=LiftConfig(kind="rbf", nlift=10, rbf_type="thinplate", rbf_centers="random"),
+        update=UpdateConfig(
+            mode="rls_sqrt", ridge=3e-2, c_ab=1e4, c_c=1e4, c_pairing="same"
+        ),
+        lift=LiftConfig(
+            kind="rbf", nlift=10, rbf_type="thinplate", rbf_centers="random",
+            normalize=True,
+        ),
         data=DataConfig(u_range=(-5.0, 5.0), clamp_x0=True),
     )
 

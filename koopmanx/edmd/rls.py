@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -142,4 +143,138 @@ def storage_update(
 def storage_model(state: StorageState, nlift: int) -> LinearModel:
     k_ext = state.syv @ jnp.linalg.pinv(state.gvv)
     c = state.sxz @ jnp.linalg.pinv(state.gzz)
+    return LinearModel(A=k_ext[..., :, :nlift], B=k_ext[..., :, nlift:], C=c)
+
+
+# ---------------------------------------------------------------------------
+# Square-root (Cholesky-factor) RLS — the f32-robust production path.
+#
+# The reference's Sherman–Morrison recursion on inv(G) (duffing.py:932)
+# squares the condition number and, seeded with inv(G) = 1e4 I, loses ~4 of
+# f32's 7 digits immediately; over 10^3+ steps the Tank loop diverges
+# (observed; SURVEY §7.4 anticipated this). The square-root form carries an
+# upper-triangular Cholesky factor R of the GRAM (G = R^T R, condition
+# number sqrt of G's) updated by Givens rotations, and extracts the model
+# with two triangular solves. Same O(d^2)/step, vmappable, f32-stable.
+# ---------------------------------------------------------------------------
+
+
+class SqrtRLSState(NamedTuple):
+    """Carry for square-root RLS: K_A / barX accumulate as before
+    (duffing.py:937, :943); r_g / r_q are Cholesky factors of the [z;u]
+    and z Grams; ``count`` cycles the ridge trickle (see
+    :func:`sqrt_rls_update_ab`)."""
+
+    K_A: Array  # (N, N+m)
+    r_g: Array  # (N+m, N+m) upper triangular, G = r_g^T r_g
+    barX: Array  # (p, N)
+    r_q: Array  # (N, N) upper triangular
+    count: Array  # scalar int32 step counter
+
+
+def chol_rank1_update(r: Array, v: Array) -> Array:
+    """Return the Cholesky factor of ``R^T R + v v^T`` via d Givens
+    rotations (fixed-trip-count ``fori_loop`` — branch-free under jit)."""
+    d = r.shape[-1]
+
+    def body(k, carry):
+        r, v = carry
+        rkk = r[k, k]
+        vk = v[k]
+        rho = jnp.sqrt(rkk * rkk + vk * vk)
+        # guard the zero column (rho=0 -> keep row unchanged)
+        safe = rho > 0
+        c = jnp.where(safe, rkk / jnp.where(safe, rho, 1.0), 1.0)
+        s = jnp.where(safe, vk / jnp.where(safe, rho, 1.0), 0.0)
+        row = r[k, :]
+        new_row = c * row + s * v
+        new_v = c * v - s * row
+        r = r.at[k, :].set(new_row)
+        return r, new_v
+
+    r, _ = jax.lax.fori_loop(0, d, body, (r, v))
+    return r
+
+
+def sqrt_rls_init(
+    nlift: int, m: int, n: int, c_ab: float = 1e4, c_c: float = 1e2, dtype=jnp.float32
+) -> SqrtRLSState:
+    """Same statistical prior as :func:`rls_init`: inv(G) = c I  <=>
+    R = sqrt(1/c) I."""
+    return SqrtRLSState(
+        K_A=jnp.zeros((nlift, nlift + m), dtype=dtype),
+        r_g=jnp.sqrt(1.0 / c_ab) * jnp.eye(nlift + m, dtype=dtype),
+        barX=jnp.zeros((n, nlift), dtype=dtype),
+        r_q=jnp.sqrt(1.0 / c_c) * jnp.eye(nlift, dtype=dtype),
+        count=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def sqrt_rls_init_from_grams(stats: GramStats) -> SqrtRLSState:
+    """Warm start from batch Grams (cholesky of the PSD Gram matrices)."""
+    return SqrtRLSState(
+        K_A=stats.syv,
+        r_g=jnp.linalg.cholesky(stats.gvv).T,
+        barX=stats.sxz,
+        r_q=jnp.linalg.cholesky(stats.gzz).T,
+        count=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def sqrt_rls_update_ab(
+    state: SqrtRLSState,
+    z: Array,
+    u: Array,
+    z_next: Array,
+    lam: float = 1.0,
+    ridge: float = 0.0,
+) -> SqrtRLSState:
+    """Rank-one sqrt update of the [A B] Gram; with ``ridge`` > 0 a second
+    rank-one update injects ``ridge^2`` onto one (cycling) diagonal entry
+    per step. Closed-loop data is persistently non-exciting, so the Gram's
+    spread grows without bound; the trickle keeps the smallest eigenvalue
+    bounded away from f32 noise (a slowly-growing Tikhonov prior — the
+    sqrt-form analog of the reference's large identity init)."""
+    v = jnp.concatenate([z, u], axis=-1)
+    d = v.shape[-1]
+    r_g = state.r_g if lam == 1.0 else jnp.sqrt(lam) * state.r_g
+    r_g = chol_rank1_update(r_g, v)
+    if ridge > 0.0:
+        e = jnp.zeros((d,), r_g.dtype).at[state.count % d].set(ridge)
+        r_g = chol_rank1_update(r_g, e)
+    return state._replace(
+        K_A=state.K_A + jnp.outer(z_next, v),
+        r_g=r_g,
+        count=state.count + 1,
+    )
+
+
+def sqrt_rls_update_c(
+    state: SqrtRLSState,
+    z: Array,
+    x_target: Array,
+    lam: float = 1.0,
+    ridge: float = 0.0,
+) -> SqrtRLSState:
+    d = z.shape[-1]
+    r_q = state.r_q if lam == 1.0 else jnp.sqrt(lam) * state.r_q
+    r_q = chol_rank1_update(r_q, z)
+    if ridge > 0.0:
+        e = jnp.zeros((d,), r_q.dtype).at[state.count % d].set(ridge)
+        r_q = chol_rank1_update(r_q, e)
+    return state._replace(barX=state.barX + jnp.outer(x_target, z), r_q=r_q)
+
+
+def _solve_gram(r: Array, rhs: Array) -> Array:
+    """Solve (R^T R) X = rhs via two triangular solves."""
+    from jax.scipy.linalg import solve_triangular
+
+    y = solve_triangular(r.T, rhs, lower=True)
+    return solve_triangular(r, y, lower=False)
+
+
+def sqrt_rls_model(state: SqrtRLSState, nlift: int) -> "LinearModel":
+    """K_ext = K_A G^{-1} and C = barX Q^{-1} from the factors."""
+    k_ext = _solve_gram(state.r_g, state.K_A.T).T
+    c = _solve_gram(state.r_q, state.barX.T).T
     return LinearModel(A=k_ext[..., :, :nlift], B=k_ext[..., :, nlift:], C=c)

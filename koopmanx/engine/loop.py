@@ -39,6 +39,9 @@ from ..edmd.rls import (
     StorageState,
     rls_update_ab,
     rls_update_c,
+    sqrt_rls_model,
+    sqrt_rls_update_ab,
+    sqrt_rls_update_c,
     storage_model,
     storage_update,
 )
@@ -77,6 +80,7 @@ class EngineConfig:
     update: str = "rls"  # 'rls' | 'storage' | 'off'
     c_pairing: str = "next"  # 'next' (duffing.py:943) | 'same' (Tank_System.m:259)
     rls_lambda: float = 1.0
+    rls_ridge: float = 0.0  # rls_sqrt mode: per-step diagonal trickle
     symmetrize: bool = True
     switch_step: int = 100  # plant-parameter switch (>= steps disables)
     qp_iters: int = 60
@@ -89,6 +93,22 @@ class EngineConfig:
     # online-updated model's changing (H, A, l, u) destabilizes a
     # fixed-iteration ADMM (observed on the Tank Δu loop).
     qp_warm_start: str = "primal"
+    # Failure detection (SURVEY §5), two layers:
+    # (1) f_clamp saturates prediction-matrix entries so an unstable model
+    #     estimate raised to the horizon-th power cannot overflow f32 and
+    #     NaN the QP (sane models produce entries O(10); the clamp only
+    #     engages in pathological transients, which then yield bounded-
+    #     garbage inputs that the box projection contains while the
+    #     estimator recovers).
+    # (2) model_guard screens the controller-side model: non-finite or
+    #     estimated spectral radius of A (power iteration — basis-
+    #     independent, unlike matrix norms on unnormalized lifts) above
+    #     the bound -> hold the last sane model while the estimator keeps
+    #     accumulating. Healthy Koopman predictors of these stable plants
+    #     have radius <= ~1.1; pathological transients exceed 2 quickly.
+    #     0 disables.
+    f_clamp: float = 1e5
+    model_guard: float = 3.0
     terminal_synthesis: bool = False  # per-step DARE terminal (Revise_2)
     state_bounds: bool = False  # enable Revise_2 state-box rows
     drift_norm: str = "fro"  # 'fro' | 'spectral'
@@ -129,6 +149,25 @@ def _matnorm(d: Array, kind: str) -> Array:
     if kind == "spectral":
         return jnp.linalg.norm(d, ord=2)
     return jnp.linalg.norm(d)
+
+
+def _spectral_radius_estimate(a: Array, iters: int = 12) -> Array:
+    """|lambda_max(A)| estimate by power iteration: v <- A v / ||A v||;
+    the norm ratio ||A v|| converges to the dominant |eigenvalue|. Cheap
+    (iters small matvecs), branch-free, vmappable. NaN inputs propagate to
+    NaN (caught by the finiteness check alongside)."""
+    n = a.shape[-1]
+    v = jnp.full((n,), 1.0 / jnp.sqrt(jnp.asarray(n, a.dtype)), dtype=a.dtype)
+
+    def body(carry, _):
+        v, _ = carry
+        av = a @ v
+        nrm = jnp.linalg.norm(av)
+        v_new = av / jnp.maximum(nrm, jnp.asarray(1e-30, a.dtype))
+        return (v_new, nrm), None
+
+    (v, nrm), _ = jax.lax.scan(body, (v, jnp.asarray(0.0, a.dtype)), None, length=iters)
+    return nrm
 
 
 def make_closed_loop(
@@ -191,6 +230,17 @@ def make_closed_loop(
         )
 
         pred = prediction_matrices(ctrl_model, horizon, params.cy)
+        if cfg.f_clamp > 0.0:
+            pred = jax.tree_util.tree_map(
+                lambda f: jnp.clip(
+                    jnp.nan_to_num(
+                        f, nan=0.0, posinf=cfg.f_clamp, neginf=-cfg.f_clamp
+                    ),
+                    -cfg.f_clamp,
+                    cfg.f_clamp,
+                ),
+                pred,
+            )
         r_window = ref_fn(step)  # (horizon, py)
         yr = r_window.reshape(-1)
 
@@ -237,8 +287,13 @@ def make_closed_loop(
         else:
             sol = solve_qp(qp, qp_cfg)
         # project the applied move onto its box (the ADMM x-iterate is only
-        # asymptotically feasible; actuator saturation is exact projection)
-        first_move = jnp.clip(sol.x[:m], params.u_min, params.u_max)
+        # asymptotically feasible; actuator saturation is exact projection);
+        # a non-finite solve (guarded model pathologies) falls back to 0
+        first_move = jnp.clip(
+            jnp.nan_to_num(sol.x[:m], nan=0.0, posinf=0.0, neginf=0.0),
+            params.u_min,
+            params.u_max,
+        )
 
         if cfg.delta_u:
             u_applied = u_prev + first_move  # U0 += ΔU (Tank_System.m:192)
@@ -277,6 +332,16 @@ def make_closed_loop(
                 symmetrize=cfg.symmetrize,
             )
             new_model = model_from_rls(rls, dictionary.nlift)
+        elif cfg.update == "rls_sqrt":
+            rls = sqrt_rls_update_ab(
+                carry.rls, z, u_applied, z_next,
+                lam=cfg.rls_lambda, ridge=cfg.rls_ridge,
+            )
+            c_target = x_next if cfg.c_pairing == "next" else x
+            rls = sqrt_rls_update_c(
+                rls, z, c_target, lam=cfg.rls_lambda, ridge=cfg.rls_ridge
+            )
+            new_model = sqrt_rls_model(rls, dictionary.nlift)
         elif cfg.update == "storage":
             c_target = x_next if cfg.c_pairing == "next" else x
             rls = storage_update(carry.rls, z, u_applied, z_next, c_target)
@@ -284,6 +349,38 @@ def make_closed_loop(
         else:
             rls = carry.rls
             new_model = model
+
+        # ---- model guard (failure detection) ----
+        if cfg.model_guard > 0.0 and cfg.update != "off":
+            finite = jnp.stack(
+                [
+                    jnp.all(jnp.isfinite(l.astype(jnp.float32)))
+                    for l in jax.tree_util.tree_leaves(new_model)
+                ]
+            ).all()
+            radius = _spectral_radius_estimate(new_model.A)
+            sane = finite & (radius < cfg.model_guard)
+            new_model = jax.tree_util.tree_map(
+                lambda a, b: jax.lax.select(
+                    jnp.broadcast_to(sane, a.shape), a, b
+                ),
+                new_model,
+                model,
+            )
+            # estimator state must never absorb non-finite carries
+            rls_finite = jnp.stack(
+                [
+                    jnp.all(jnp.isfinite(l.astype(jnp.float32)))
+                    for l in jax.tree_util.tree_leaves(rls)
+                ]
+            ).all()
+            rls = jax.tree_util.tree_map(
+                lambda a, b: jax.lax.select(
+                    jnp.broadcast_to(rls_finite, a.shape), a, b
+                ),
+                rls,
+                carry.rls,
+            )
 
         # ---- metrics ----
         residual = jnp.linalg.norm(z_next - (model.A @ z + model.B @ u_applied))
@@ -299,8 +396,12 @@ def make_closed_loop(
         else:
             lyap = jnp.zeros((), dtype=x.dtype)
 
-        # warm start: shift the solution one step (last move repeated)
-        warm_x = jnp.concatenate([sol.x[m:], sol.x[-m:]])
+        # warm start: shift the solution one step (last move repeated);
+        # sanitize so a pathological solve cannot poison later steps
+        warm_x = jnp.nan_to_num(
+            jnp.concatenate([sol.x[m:], sol.x[-m:]]),
+            nan=0.0, posinf=0.0, neginf=0.0,
+        )
         new_carry = LoopCarry(
             x=x_next,
             u_applied=u_applied,

@@ -1,0 +1,189 @@
+"""Golden-trajectory parity harness vs the reference semantics.
+
+Reproduces the reference's *exact* experimental protocol in float64 NumPy —
+same legacy ``np.random.seed`` streams, same RK4, same encoder weights,
+same EDMD pinv fit, same scipy L-BFGS-B MPC solve, same RLS recursions —
+to produce oracle trajectories, then the test suite asserts the JAX engine
+(fed identical data/weights) matches within tolerance (BASELINE.md
+"closed-loop trajectory parity" criterion).
+
+Protocol being replicated (all /root/reference/duffing.py):
+  - data: ``np.random.seed(101)``; ``u0 = 4*rand(N, NT) - 2``;
+    ``x0 = 4*rand(n, NT) - 2`` (data_generate.py:33-41), RK4 h=0.05,
+    trajectory-major reorder (data_generate.py:63-78);
+  - EDMD: ``K = Phi_Y pinv([Phi_X; U])``, ``C = X pinv(Phi_X)`` (:167-177);
+  - MPC: L-BFGS-B on the Np=Nc=10 shooting cost, bounds ±2, zero start
+    (:776-778 — pastRes is never updated, so every solve starts at 0);
+  - plant: RK4 Duffing from x0=[-2,-2] (:650);
+  - online update: RLS on [A B] (init 1e4 I) and C (init 100 I), pairing
+    the NEXT state with the current lift (:927-953);
+  - the i>100 parameter switch in this script is inert (SURVEY §2.1).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from . import oracle
+
+
+def generate_duffing_data(
+    seed: int = 101, n_step: int = 100, n_traj: int = 100
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Replicate data_generate.duffing_generate() streams exactly.
+
+    Returns column-major (n, S), (n, S), (m, S) float64 arrays in the
+    reference's trajectory-major reordered layout.
+    """
+    n, m, h = 2, 1, 0.05
+    rng = np.random
+    rng.seed(seed)
+    u0 = 4.0 * rng.rand(n_step, n_traj) - 2.0
+    x0 = 4.0 * rng.rand(n, n_traj) - 2.0
+
+    f = lambda x, u: np.array([x[1], -0.5 * x[1] + x[0] - x[0] ** 3 + u])
+    # vectorized over the trajectory axis
+    fv = lambda x, u: np.stack([x[1], -0.5 * x[1] + x[0] - x[0] ** 3 + u])
+
+    def rk4v(x, u):
+        k1 = fv(x, u)
+        k2 = fv(x + 0.5 * h * k1, u)
+        k3 = fv(x + 0.5 * h * k2, u)
+        k4 = fv(x + h * k3, u)
+        return x + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+    x = x0.copy()
+    xs, ys, us = [], [], []
+    for i in range(n_step):
+        x_next = rk4v(x, u0[i])
+        xs.append(x.copy())
+        ys.append(x_next.copy())
+        us.append(u0[i].copy())
+        x = x_next
+    # time-major blocks -> trajectory-major (data_generate.py:63-78)
+    X = np.concatenate(xs, axis=1)  # (n, T*NT) time-major
+    Y = np.concatenate(ys, axis=1)
+    U = np.stack(us).reshape(1, -1)
+    idx = np.array(
+        [i + j * n_traj for i in range(n_traj) for j in range(n_step)]
+    )
+    return X[:, idx], Y[:, idx], U[:, idx]
+
+
+def encoder_forward(params: List[Tuple[np.ndarray, np.ndarray]], x: np.ndarray):
+    """ReLU MLP forward, columns of x are samples. params: [(W, b), ...]."""
+    h = x
+    for w, b in params[:-1]:
+        h = np.maximum(w @ h + b[:, None], 0.0)
+    w, b = params[-1]
+    return w @ h + b[:, None]
+
+
+def load_encoder_np(path: str) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Load encoder weights ((out,in)/(out,)) as float64 NumPy from .mat or
+    the reference torch pickle."""
+    if path.endswith(".mat"):
+        import scipy.io as sio
+
+        raw = sio.loadmat(path)
+        out = []
+        i = 1
+        while f"W{i}" in raw:
+            out.append(
+                (
+                    np.asarray(raw[f"W{i}"], dtype=np.float64),
+                    np.asarray(raw[f"b{i}"], dtype=np.float64).ravel(),
+                )
+            )
+            i += 1
+        return out
+    from ..lifts.io import load_torch_autoencoder
+
+    enc, _ = load_torch_autoencoder(path, dtype=None)
+    return [
+        (np.asarray(w, dtype=np.float64), np.asarray(b, dtype=np.float64))
+        for w, b in enc
+    ]
+
+
+def edmd_fit_np(enc, X, Y, U):
+    """duffing.py:152-177 fit. Inputs column-major (n, S)."""
+    zx = encoder_forward(enc, X)  # (Nlift, S)
+    zy = encoder_forward(enc, Y)
+    v = np.concatenate([zx, U], axis=0)
+    k = zy @ np.linalg.pinv(v)
+    nlift = zx.shape[0]
+    a, b = k[:, :nlift], k[:, nlift:]
+    c = X @ np.linalg.pinv(zx)
+    return a, b, c
+
+
+def mpc_solve_lbfgsb(
+    a, b, c, z0, r, horizon, bounds, q_weight=100.0, r_weight=1e-4
+):
+    """scipy L-BFGS-B on the shooting cost (duffing.py:540-581, :776-778):
+    zero start each step."""
+    from scipy.optimize import minimize
+
+    ab = np.concatenate([a, b], axis=1)
+
+    def cost(u_seq):
+        z = z0.copy()
+        total = 0.0
+        for i, u in enumerate(u_seq):
+            z = ab @ np.concatenate([z, [u]])
+            y = c @ z
+            err = y - r[:, i]
+            total += np.sum(err * err)
+        return q_weight * total + r_weight * np.sum(u_seq * u_seq)
+
+    res = minimize(cost, np.zeros(horizon), bounds=bounds)
+    return res.x
+
+
+def duffing_closed_loop_oracle(
+    enc,
+    a0,
+    b0,
+    c0,
+    steps: int = 150,
+    horizon: int = 10,
+    update: bool = True,
+    x_init=(-2.0, -2.0),
+    u_bound: float = 2.0,
+):
+    """The reference's closed loop 2 (duffing.py:823-1012) in NumPy f64.
+
+    Returns (logX (steps, 2), logU (steps, 1))."""
+    rk4 = oracle.rk4(oracle.duffing_f(), 0.05)
+    bounds = [(-u_bound, u_bound)] * horizon
+    nlift = a0.shape[0]
+
+    a, b, c = a0.copy(), b0.copy(), c0.copy()
+    x = np.asarray(x_init, dtype=np.float64)
+    k_a = np.zeros((nlift, nlift + 1))
+    inv_g = 1e4 * np.eye(nlift + 1)
+    bar_x = np.zeros((2, nlift))
+    bar_q = 100.0 * np.eye(nlift)
+    log_x, log_u = [], []
+    r = np.zeros((2, horizon))
+    r[0, :] = 1.0
+
+    for i in range(steps):
+        z = encoder_forward(enc, x[:, None]).ravel()
+        u_seq = mpc_solve_lbfgsb(a, b, c, z, r, horizon, bounds)
+        u = np.array([u_seq[0]])
+        x_next = rk4(x, u)
+        log_x.append(x.copy())
+        log_u.append(u.copy())
+        if update:
+            z_next = encoder_forward(enc, x_next[:, None]).ravel()
+            k_a, inv_g = oracle.rls_ab_step(k_a, inv_g, z, u, z_next)
+            bar_x, bar_q = oracle.rls_c_step(bar_x, bar_q, z, x_next)
+            k_ext = k_a @ inv_g
+            a = k_ext[:, :nlift]
+            b = k_ext[:, nlift:]
+            c = bar_x @ bar_q
+        x = x_next
+    return np.stack(log_x), np.stack(log_u)

@@ -110,3 +110,36 @@ def zero_offset(inner: Dictionary) -> Dictionary:
         return inner.apply_fn(params, x) - inner.apply_fn(params, zero)
 
     return Dictionary(apply_fn, inner.params, nlift=inner.nlift, n=inner.n)
+
+
+def normalized(inner: Dictionary, mean: Array, scale: Array) -> Dictionary:
+    """ψ'(x) = (ψ(x) - mean) / scale — lifted-feature standardization.
+
+    Not in the reference (its f64 pinv papers over the conditioning), but
+    essential on TPU: raw thinplate/NN features span orders of magnitude,
+    pushing the EDMD/RLS Gram condition number past what f32 carries. With
+    unit-variance features the square-root RLS stays accurate in f32
+    (the production precision). Statistics come from the training
+    snapshots via :func:`fit_normalizer`.
+    """
+
+    def apply_fn(params, x):
+        inner_params, mu, sc = params
+        return (inner.apply_fn(inner_params, x) - mu) / sc
+
+    return Dictionary(
+        apply_fn,
+        (inner.params, mean, scale),
+        nlift=inner.nlift,
+        n=inner.n,
+        decode_fn=inner.decode_fn,
+        decode_params=inner.decode_params,
+    )
+
+
+def fit_normalizer(inner: Dictionary, x_samples: Array, eps: float = 1e-6):
+    """Compute (mean, scale) of the lifted features over training states."""
+    z = inner(x_samples)
+    mu = jnp.mean(z, axis=0)
+    sc = jnp.maximum(jnp.std(z, axis=0), eps)
+    return mu, sc

@@ -17,10 +17,23 @@ from jax import Array
 from . import configs as C
 from .control.qp import ADMMConfig
 from .edmd.batch import edmd_fit, gram_stats, lift_snapshots
-from .edmd.rls import rls_init, rls_init_from_grams, storage_init
+from .edmd.rls import (
+    rls_init,
+    rls_init_from_grams,
+    sqrt_rls_init,
+    sqrt_rls_init_from_grams,
+    storage_init,
+)
 from .engine import ref as refgen
 from .engine.loop import EngineConfig, MPCParams, make_closed_loop, run_batch
-from .lifts.base import Dictionary, identity_dictionary, state_augmented, zero_offset
+from .lifts.base import (
+    Dictionary,
+    fit_normalizer,
+    identity_dictionary,
+    normalized,
+    state_augmented,
+    zero_offset,
+)
 from .lifts.io import load_mat_mlp, load_torch_autoencoder
 from .lifts.mlp import encoder_dictionary, mlp_init
 from .lifts.poly import hermite_dictionary, monomial_dictionary
@@ -76,6 +89,9 @@ def build_dictionary(
         d = state_augmented(d, zero_offset=lc.zero_offset)
     elif lc.zero_offset:
         d = zero_offset(d)
+    if lc.normalize:
+        mu, sc = fit_normalizer(d, data.x.astype(dtype))
+        d = normalized(d, mu, sc)
     return d
 
 
@@ -198,10 +214,15 @@ def build_pipeline(cfg: C.RunConfig, x_init=None) -> Pipeline:
     if uc.mode == "storage" or uc.warm_start_from_batch:
         zx, zy = lift_snapshots(dictionary, data)
         stats = gram_stats(zx, zy, data.u, data.x)
-        rls0 = (
-            storage_init(stats)
-            if uc.mode == "storage"
-            else rls_init_from_grams(stats)
+        if uc.mode == "storage":
+            rls0 = storage_init(stats)
+        elif uc.mode == "rls_sqrt":
+            rls0 = sqrt_rls_init_from_grams(stats)
+        else:
+            rls0 = rls_init_from_grams(stats)
+    elif uc.mode == "rls_sqrt":
+        rls0 = sqrt_rls_init(
+            dictionary.nlift, system.m, system.n, uc.c_ab, uc.c_c, dtype
         )
     else:
         rls0 = rls_init(
@@ -222,6 +243,7 @@ def build_pipeline(cfg: C.RunConfig, x_init=None) -> Pipeline:
         update=uc.mode,
         c_pairing=uc.c_pairing,
         rls_lambda=uc.forgetting,
+        rls_ridge=uc.ridge,
         symmetrize=uc.symmetrize,
         switch_step=cfg.switch_step,
         qp_iters=cfg.mpc.qp_iters,

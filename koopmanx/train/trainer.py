@@ -1,0 +1,137 @@
+"""KMAE training driver + checkpoint/resume.
+
+Reference loop shape (DeepLearning_KoopmanControl_Approach3.py:462-563):
+20 epochs x 100 minibatches; each minibatch re-fits (A, B) by EDMD over the
+FULL dataset and backprops the blended multi-step loss over a window slice;
+after epoch 5 only the reconstruction term is kept; final artifacts are a
+full-model pickle + .mat weight export (:565-566).
+
+TPU-first: one jitted train step (minibatch windows are a gather), scanned
+epochs on-device if desired; checkpoints via numpy .npz (pytree flatten) +
+the reference-schema ``.mat`` export so trained encoders round-trip into
+the MATLAB-side tooling (L8 interchange).
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..lifts.io import save_mat_mlp
+from ..systems.data import Snapshots
+from .kmae import (
+    KMAEConfig,
+    KMAEState,
+    init_state,
+    make_train_step,
+    make_windows,
+)
+
+
+def save_checkpoint(path: str, state: KMAEState, step: int) -> None:
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    np.savez(
+        path,
+        step=step,
+        n_leaves=len(leaves),
+        **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
+    )
+
+
+def load_checkpoint(path: str, template: KMAEState) -> Tuple[KMAEState, int]:
+    data = np.load(path)
+    _, treedef = jax.tree_util.tree_flatten(template)
+    n = int(data["n_leaves"])
+    leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
+    return jax.tree_util.tree_unflatten(treedef, leaves), int(data["step"])
+
+
+def fit(
+    data: Snapshots,
+    n_step: int,
+    cfg: KMAEConfig = KMAEConfig(),
+    nlift: int = 8,
+    hidden: int = 100,
+    seed: int = 0,
+    batch_windows: int = 256,
+    dtype=jnp.float32,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
+    log_every: int = 1,
+    verbose: bool = True,
+):
+    """Train θ_E/θ_D on trajectory-major snapshots.
+
+    Returns (state, history) where history is a list of per-epoch dicts.
+    """
+    n = data.x.shape[-1]
+    key = jax.random.PRNGKey(seed)
+    k_init, k_shuffle = jax.random.split(key)
+    state = init_state(k_init, cfg, n=n, nlift=nlift, hidden=hidden, dtype=dtype)
+    start_epoch = 0
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        state, start_epoch = load_checkpoint(checkpoint_path, state)
+
+    x_snap = data.x.astype(dtype)
+    y_snap = data.y.astype(dtype)
+    u_snap = data.u.astype(dtype)
+    x_win, u_win = make_windows(x_snap, y_snap, u_snap, n_step, cfg.pred_horizon)
+    n_win = x_win.shape[0]
+
+    train_step, _ = make_train_step(cfg)
+    # two jitted variants (rec_only is a python bool branching the loss)
+    step_full = jax.jit(
+        lambda s, xw, uw: train_step(s, x_snap, y_snap, u_snap, xw, uw, False)
+    )
+    step_rec = jax.jit(
+        lambda s, xw, uw: train_step(s, x_snap, y_snap, u_snap, xw, uw, True)
+    )
+
+    steps_per_epoch = max(1, n_win // batch_windows)
+    history = []
+    for epoch in range(start_epoch, cfg.epochs):
+        rec_only = (
+            cfg.rec_only_after_epoch is not None
+            and epoch > cfg.rec_only_after_epoch
+        )
+        k_shuffle, k_ep = jax.random.split(k_shuffle)
+        perm = jax.random.permutation(k_ep, n_win)
+        losses = []
+        for b in range(steps_per_epoch):
+            idx = perm[b * batch_windows : (b + 1) * batch_windows]
+            xw = x_win[idx]
+            uw = u_win[idx]
+            fn = step_rec if rec_only else step_full
+            state, loss, aux = fn(state, xw, uw)
+            losses.append(float(loss))
+        rec = {
+            "epoch": epoch,
+            "loss": float(np.mean(losses)),
+            "l_rec": float(aux["l_rec"]),
+            "l_lin": float(aux["l_lin"]),
+            "l_pred": float(aux["l_pred"]),
+            "rec_only": rec_only,
+        }
+        history.append(rec)
+        if verbose and epoch % log_every == 0:
+            print(
+                f"epoch {epoch}: loss={rec['loss']:.4f} "
+                f"(rec {rec['l_rec']:.4f} lin {rec['l_lin']:.4f} "
+                f"pred {rec['l_pred']:.4f}){' [rec-only]' if rec_only else ''}"
+            )
+        if checkpoint_path and (epoch + 1) % checkpoint_every == 0:
+            save_checkpoint(checkpoint_path, state, epoch + 1)
+    if checkpoint_path:
+        save_checkpoint(checkpoint_path, state, cfg.epochs)
+    return state, history
+
+
+def export_weights(state: KMAEState, path_prefix: str) -> None:
+    """Write encoder/decoder in the reference ``.mat`` schema
+    (duffing.py:61-64: W (out,in), b (1,out))."""
+    save_mat_mlp(path_prefix + "_encoder.mat", state.params.encoder)
+    save_mat_mlp(path_prefix + "_decoder.mat", state.params.decoder)

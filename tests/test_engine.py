@@ -79,7 +79,7 @@ def test_tank_delta_u_loop():
     """Tank closed loop (Δu formulation with input constraints) tracks
     level r=1 (Tank_System.m scenario)."""
     cfg = C.tank_preset()
-    cfg.steps = 250
+    cfg.steps = 420
     cfg.dtype = "float64"
     cfg.data = C.DataConfig(
         n_step=40, n_traj=40, u_range=(-5.0, 5.0), clamp_x0=True
@@ -89,7 +89,9 @@ def test_tank_delta_u_loop():
     carry, log = run_single(pipe)
     x2 = np.asarray(log.x[:, 1])
     assert np.isfinite(x2).all()
-    assert abs(x2[-25:].mean() - 1.0) < 0.2, x2[-10:]
+    # settles near r=1 before the switch and again after re-adapting
+    assert abs(x2[60:100].mean() - 1.0) < 0.15, x2[80:100]
+    assert abs(x2[-40:].mean() - 1.0) < 0.3, x2[-10:]
     # Δu bounds respected: per-step input change <= 0.5
     du = np.diff(np.asarray(log.u[:, 0]))
     assert np.abs(du).max() <= 0.5 + 1e-6

@@ -1,0 +1,130 @@
+"""Golden-trajectory parity vs the float64 NumPy oracle of the reference.
+
+Three gates (SURVEY §7.2):
+  gate 2 — batch EDMD fit on the reference's exact seed-101 dataset;
+  gate 2b — open-loop prediction replay RMSE;
+  gate 5 — closed-loop trajectories (QP engine vs L-BFGS-B oracle).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from koopmanx.edmd import edmd_fit
+from koopmanx.engine.loop import EngineConfig, make_closed_loop
+from koopmanx.engine import ref as refgen
+from koopmanx.engine.loop import MPCParams
+from koopmanx.edmd.rls import rls_init
+from koopmanx.eval import parity
+from koopmanx.eval.openloop import openloop_validate
+from koopmanx.lifts.io import load_mat_mlp
+from koopmanx.lifts.mlp import encoder_dictionary
+from koopmanx.systems import DUFFING, from_reference_layout
+from koopmanx.types import LinearModel
+
+WEIGHTS = "/root/reference/Revise_2/duffing_weights.mat"
+
+
+@pytest.fixture(scope="module")
+def reference_setup():
+    X, Y, U = parity.generate_duffing_data(seed=101, n_step=60, n_traj=60)
+    enc = parity.load_encoder_np(WEIGHTS)
+    a0, b0, c0 = parity.edmd_fit_np(enc, X, Y, U)
+    return X, Y, U, enc, a0, b0, c0
+
+
+def test_edmd_fit_parity(reference_setup):
+    """Gate 2: our Gram-path EDMD on the identical snapshot set matches the
+    oracle's pinv fit."""
+    X, Y, U, enc, a0, b0, c0 = reference_setup
+    data = from_reference_layout(X, Y, U)
+    d = encoder_dictionary(load_mat_mlp(WEIGHTS, dtype=jnp.float64), n=2)
+    model = edmd_fit(d, data, method="pinv")
+    np.testing.assert_allclose(np.asarray(model.A), a0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(model.B), b0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(model.C), c0, atol=1e-5)
+
+
+def test_openloop_replay_parity(reference_setup):
+    """Gate 2b: free-run the lifted model along the recorded inputs; our
+    replay must equal the oracle's replay step-for-step."""
+    X, Y, U, enc, a0, b0, c0 = reference_setup
+    plot_t = 100
+    # oracle replay (duffing.py:264-344 semantics, no re-encode markers)
+    z = parity.encoder_forward(enc, X[:, :1]).ravel()
+    y_oracle = []
+    for i in range(plot_t):
+        y_oracle.append(c0 @ z)
+        z = a0 @ z + b0[:, 0] * U[0, i]
+    y_oracle = np.stack(y_oracle)
+
+    d = encoder_dictionary(load_mat_mlp(WEIGHTS, dtype=jnp.float64), n=2)
+    model = LinearModel(
+        A=jnp.asarray(a0), B=jnp.asarray(b0), C=jnp.asarray(c0)
+    )
+    res = openloop_validate(
+        model,
+        d,
+        jnp.asarray(X.T[:plot_t]),
+        jnp.asarray(U.T[:plot_t]),
+        reencode_every=0,
+    )
+    np.testing.assert_allclose(np.asarray(res.y_pred), y_oracle, atol=1e-8)
+    # and the reference's RMSE formula agrees
+    rmse_oracle = np.linalg.norm((y_oracle[:, 0] - X[0, :plot_t]) / plot_t)
+    np.testing.assert_allclose(float(res.rmse_ref), rmse_oracle, rtol=1e-6)
+
+
+@pytest.mark.parametrize("update", [False, True])
+def test_closed_loop_parity(reference_setup, update):
+    """Gate 5: closed-loop trajectory of the QP engine vs the L-BFGS-B
+    oracle on the same model/weights. The solvers differ (condensed QP
+    solved to optimality vs L-BFGS-B), so parity is on the trajectory
+    within tolerance, not bitwise (SURVEY §7.4)."""
+    X, Y, U, enc, a0, b0, c0 = reference_setup
+    steps = 80
+    log_x_o, log_u_o = parity.duffing_closed_loop_oracle(
+        enc, a0, b0, c0, steps=steps, update=update
+    )
+
+    d = encoder_dictionary(load_mat_mlp(WEIGHTS, dtype=jnp.float64), n=2)
+    cfg = EngineConfig(
+        horizon=10,
+        steps=steps,
+        update="rls" if update else "off",
+        c_pairing="next",
+        symmetrize=False,
+        switch_step=10**9,
+        qp_iters=150,
+        qp_rho=0.1,
+    )
+    ref_fn = refgen.constant(
+        jnp.array([1.0, 0.0], dtype=jnp.float64), 10, 2, jnp.float64
+    )
+    loop = make_closed_loop(DUFFING, d, cfg, ref_fn)
+    params = MPCParams(
+        q_block=100.0 * jnp.eye(2, dtype=jnp.float64),
+        r_block=1e-4 * jnp.eye(1, dtype=jnp.float64),
+        u_min=jnp.array([-2.0], dtype=jnp.float64),
+        u_max=jnp.array([2.0], dtype=jnp.float64),
+    )
+    model0 = LinearModel(
+        A=jnp.asarray(a0), B=jnp.asarray(b0), C=jnp.asarray(c0)
+    )
+    rls0 = rls_init(8, 1, 2, c_ab=1e4, c_c=1e2, dtype=jnp.float64)
+    _, log = jax.jit(loop)(
+        params, jnp.array([-2.0, -2.0], dtype=jnp.float64), model0, rls0
+    )
+    x_ours = np.asarray(log.x)
+    err = np.abs(x_ours - log_x_o).max()
+    # observed ~1.3e-3: the only deviations come from L-BFGS-B stopping
+    # short of the QP optimum on saturated steps
+    assert err < 0.02, (
+        f"max traj deviation {err}; ours tail {x_ours[-3:,0]}, "
+        f"oracle tail {log_x_o[-3:,0]}"
+    )
+    # u shows isolated transient spikes (max ~0.31 observed with the
+    # online update) where L-BFGS-B stops short of the QP optimum; the
+    # state trajectory is the parity criterion, u just must stay close
+    u_err = np.abs(np.asarray(log.u) - log_u_o).max()
+    assert u_err < 0.5

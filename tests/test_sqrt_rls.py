@@ -1,0 +1,72 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from koopmanx import configs as C
+from koopmanx.edmd.rls import (
+    chol_rank1_update,
+    rls_init,
+    rls_update_ab,
+    rls_update_c,
+    sqrt_rls_init,
+    sqrt_rls_model,
+    sqrt_rls_update_ab,
+    sqrt_rls_update_c,
+)
+from koopmanx.run import build_pipeline, run_single
+from koopmanx.types import model_from_rls
+
+
+def test_chol_rank1_update():
+    rng = np.random.RandomState(0)
+    r = np.triu(rng.randn(6, 6))
+    r[np.diag_indices(6)] = np.abs(r[np.diag_indices(6)]) + 1.0
+    v = rng.randn(6)
+    r2 = chol_rank1_update(jnp.asarray(r), jnp.asarray(v))
+    np.testing.assert_allclose(
+        np.asarray(r2.T @ r2), r.T @ r + np.outer(v, v), rtol=1e-10
+    )
+    # result stays upper triangular
+    assert np.allclose(np.tril(np.asarray(r2), -1), 0.0)
+
+
+def test_sqrt_rls_matches_sm_rls_in_f64():
+    """In f64 the square-root form and the reference's Sherman–Morrison
+    form produce the same model."""
+    nlift, m, n = 5, 1, 2
+    sm = rls_init(nlift, m, n, 1e4, 1e2, jnp.float64)
+    sq = sqrt_rls_init(nlift, m, n, 1e4, 1e2, jnp.float64)
+    rng = np.random.RandomState(1)
+    for _ in range(30):
+        z = jnp.asarray(rng.randn(nlift))
+        u = jnp.asarray(rng.randn(m))
+        zn = jnp.asarray(rng.randn(nlift))
+        xt = jnp.asarray(rng.randn(n))
+        sm = rls_update_ab(sm, z, u, zn)
+        sm = rls_update_c(sm, z, xt)
+        sq = sqrt_rls_update_ab(sq, z, u, zn)
+        sq = sqrt_rls_update_c(sq, z, xt)
+    m_sm = model_from_rls(sm, nlift)
+    m_sq = sqrt_rls_model(sq, nlift)
+    np.testing.assert_allclose(np.asarray(m_sq.A), np.asarray(m_sm.A), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(m_sq.B), np.asarray(m_sm.B), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(m_sq.C), np.asarray(m_sm.C), atol=1e-8)
+
+
+def test_sqrt_rls_is_f32_stable_where_sm_is_not():
+    """The f32 Tank loop diverges with SM-RLS (observed) but tracks with
+    square-root RLS — the production f32 configuration."""
+    cfg = C.tank_preset()
+    cfg.steps = 300
+    cfg.dtype = "float32"
+    cfg.data = C.DataConfig(n_step=40, n_traj=40, u_range=(-5.0, 5.0), clamp_x0=True)
+    # the f32 production recipe: sqrt RLS + ridge trickle + normalized lift
+    cfg.update.mode = "rls_sqrt"
+    cfg.update.ridge = 3e-2
+    cfg.lift.normalize = True
+    pipe = build_pipeline(cfg)
+    _, log = run_single(pipe)
+    x2 = np.asarray(log.x[:, 1], dtype=np.float64)
+    assert np.isfinite(np.asarray(log.x)).all()
+    # pre-switch window settles near 1
+    assert abs(x2[60:100].mean() - 1.0) < 0.25, x2[80:100]
