@@ -54,6 +54,7 @@ class MPCConfig:
     track_lifted: bool = False
     cy_index: Optional[int] = None  # track a single output channel (Tank: 1)
     terminal_synthesis: bool = False
+    terminal_mode: str = "dare"  # dare | lmi (Revise_2 YALMIP parity)
     state_bounds: Optional[Tuple[float, float]] = None
     qp_iters: int = 60
     qp_rho: float = 0.1
@@ -205,9 +206,52 @@ def revise2_duffing_preset() -> RunConfig:
     )
 
 
+def duffing_rbf_preset() -> RunConfig:
+    """duffing_RBF.py: thinplate-eps RBF lift with KMeans centers (:20-23,
+    :44-46), storage-method online update (:404-438), otherwise the
+    duffing.py MPC scenario."""
+    return RunConfig(
+        system="duffing",
+        steps=10000,
+        switch_step=10**9,
+        mpc=MPCConfig(horizon=10, q_weight=100.0, r_weight=1e-4, u_min=-2, u_max=2),
+        update=UpdateConfig(mode="storage", c_pairing="next"),
+        # state_augmented is an improvement over the reference's pure-RBF
+        # lift (duffing_RBF.py:20-23): including the raw state removes the
+        # ~0.25 steady-state tracking offset the 8-feature thinplate
+        # dictionary exhibits alone
+        lift=LiftConfig(
+            kind="rbf", nlift=8, rbf_type="thinplate_eps",
+            rbf_centers="kmeans", normalize=True, state_augmented=True,
+        ),
+    )
+
+
+def toy1d_preset() -> RunConfig:
+    """One_Dimensional_Toy_Example_Continuous_System.m: state-augmented NN
+    lift phi=[x; Enc(x)] (:25-27), MATLAB RK4, open-loop validation focus;
+    closed loop provided for completeness."""
+    return RunConfig(
+        system="toy1d",
+        steps=500,
+        switch_step=10**9,
+        integrator="rk4_matlab",
+        mpc=MPCConfig(horizon=10, q_weight=100.0, r_weight=1e-4, u_min=-1, u_max=1),
+        update=UpdateConfig(mode="rls_sqrt", ridge=1e-2, c_pairing="same"),
+        lift=LiftConfig(
+            kind="mlp", nlift=8, state_augmented=True, normalize=True,
+            weights_path="/root/reference/One_Dimensional_System22.mat",
+        ),
+        data=DataConfig(n_step=1, n_traj=2000, u_range=(-1.0, 1.0), x0_range=(-1.0, 1.0)),
+        reference_value=0.5,
+    )
+
+
 PRESETS = {
     "duffing": duffing_nn_preset,
+    "duffing_rbf": duffing_rbf_preset,
     "vanderpol": vdp_lifted_preset,
     "tank": tank_preset,
     "revise2_duffing": revise2_duffing_preset,
+    "toy1d": toy1d_preset,
 }

@@ -16,3 +16,5 @@ from .terminal import (
     prediction_residual,
     synthesize_terminal,
 )
+from .lmi import LMIResult, solve_terminal_lmi
+from .dare import solve_dlyap_doubling

@@ -89,3 +89,16 @@ def controllability_rank(a: Array, b: Array) -> Array:
     _, blocks = jax.lax.scan(body, b, None, length=n)
     ctrb = jnp.concatenate(jnp.moveaxis(blocks, 0, 0), axis=-1)  # (n, n*m)
     return jnp.linalg.matrix_rank(ctrb)
+
+
+def solve_dlyap_doubling(a: Array, q: Array, iters: int = 30) -> Array:
+    """Discrete Lyapunov equation P = A' P A + Q by doubling:
+    P_{j+1} = P_j + M_j' P_j M_j, M_{j+1} = M_j^2 (converges for stable A).
+    Fixed-length scan of small matmuls — vmappable."""
+
+    def body(carry, _):
+        p, m = carry
+        return (p + m.T @ p @ m, m @ m), None
+
+    (p, _), _ = jax.lax.scan(body, (q, a), None, length=iters)
+    return p

@@ -33,6 +33,7 @@ from ..control.condensed import (
     weight_bar,
 )
 from ..control.qp import ADMMConfig, solve_qp
+from ..control.lmi import solve_terminal_lmi
 from ..control.terminal import synthesize_terminal
 from ..edmd.rls import (
     RLSState,
@@ -109,7 +110,8 @@ class EngineConfig:
     #     0 disables.
     f_clamp: float = 1e5
     model_guard: float = 3.0
-    terminal_synthesis: bool = False  # per-step DARE terminal (Revise_2)
+    terminal_synthesis: bool = False  # per-step terminal synthesis (Revise_2)
+    terminal_mode: str = "dare"  # 'dare' (production) | 'lmi' (Revise_2 parity)
     state_bounds: bool = False  # enable Revise_2 state-box rows
     drift_norm: str = "fro"  # 'fro' | 'spectral'
 
@@ -214,12 +216,29 @@ def make_closed_loop(
 
         # ---- terminal weight ----
         if cfg.terminal_synthesis:
-            cert = synthesize_terminal(
-                model, params.q_lift, params.r_block
-            )
+            if cfg.terminal_mode == "lmi":
+                # Revise_2 parity: per-step LMI anchored at the current
+                # lifted tracking error (Revise_2/Koopman_update.m:331)
+                r0 = ref_fn(step)[0]
+                ref_full = jnp.zeros((n,), dtype=z.dtype).at[
+                    : r0.shape[-1]
+                ].set(r0[:n])
+                psi = dictionary(x - ref_full)
+                lmi_res = solve_terminal_lmi(
+                    model,
+                    params.q_lift,
+                    params.r_block,
+                    psi,
+                    u_max=params.u_max[0],  # traced scalar is fine here
+                )
+                cert_p = lmi_res.p
+            else:
+                cert_p = synthesize_terminal(
+                    model, params.q_lift, params.r_block
+                ).p
             c_for_term = model.C if params.cy is None else params.cy @ model.C
-            terminal = c_for_term @ cert.p @ c_for_term.T
-            p_lyap = cert.p
+            terminal = c_for_term @ cert_p @ c_for_term.T
+            p_lyap = cert_p
         else:
             terminal = params.terminal
             p_lyap = None

@@ -249,6 +249,7 @@ def build_pipeline(cfg: C.RunConfig, x_init=None) -> Pipeline:
         qp_iters=cfg.mpc.qp_iters,
         qp_rho=cfg.mpc.qp_rho,
         terminal_synthesis=cfg.mpc.terminal_synthesis,
+        terminal_mode=cfg.mpc.terminal_mode,
         state_bounds=cfg.mpc.state_bounds is not None,
     )
     closed_loop = make_closed_loop(system, dictionary, engine_cfg, ref_fn)

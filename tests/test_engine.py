@@ -137,3 +137,17 @@ def test_scenario_batch_vmap():
     assert np.isfinite(np.asarray(logs.x)).all()
     # different scenarios -> different trajectories
     assert np.abs(np.asarray(logs.x[0]) - np.asarray(logs.x[1])).max() > 1e-3
+
+
+def test_lmi_terminal_mode_runs():
+    """Revise_2 parity path: per-step LMI terminal synthesis in the loop."""
+    cfg = C.revise2_duffing_preset()
+    cfg.steps = 8
+    cfg.dtype = "float64"
+    cfg.mpc.terminal_mode = "lmi"
+    cfg.data = C.DataConfig(n_step=30, n_traj=30)
+    pipe = build_pipeline(cfg)
+    _, log = run_single(pipe)
+    assert np.isfinite(np.asarray(log.x)).all()
+    assert np.isfinite(np.asarray(log.lyapunov)).all()
+    assert float(np.asarray(log.lyapunov).max()) > 0.0
