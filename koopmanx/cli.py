@@ -72,6 +72,16 @@ def cmd_run(args):
         y = x[:, 0]
         r_head = r[:, 0]
 
+    if args.archive:
+        from .eval.persist import archive_run
+
+        archive_run(args.archive, log, h=cfg.data.h, mat=args.mat)
+    if args.figures:
+        from .eval.plots import save_figure_bundle
+
+        bounds = (cfg.mpc.u_min, cfg.mpc.u_max)
+        save_figure_bundle(args.figures, log, h=cfg.data.h, u_bounds=bounds)
+
     summary = {
         "system": cfg.system,
         "steps": cfg.steps,
@@ -115,6 +125,93 @@ def cmd_bench(args):
     bench.main()
 
 
+def cmd_validate(args):
+    import jax
+    import numpy as np
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+
+    from . import configs as C
+    from .eval.openloop import openloop_validate
+    from .run import build_pipeline
+    from .systems import collect, get_system
+    from .run import _dtype
+
+    cfg = C.PRESETS[args.preset]()
+    pipe = build_pipeline(cfg)
+    system = get_system(cfg.system)
+    # fresh validation rollout (the reference re-seeds and regenerates,
+    # duffing.py:264)
+    data = collect(
+        system,
+        jax.random.PRNGKey(cfg.seed + 1),
+        n_step=max(args.steps, cfg.data.n_step),
+        n_traj=1,
+        h=cfg.data.h,
+        u_range=cfg.data.u_range,
+        x0_range=cfg.data.x0_range,
+        integrator=cfg.integrator,
+        clamp_x0=cfg.data.clamp_x0,
+        dtype=_dtype(cfg),
+    )
+    res = openloop_validate(
+        pipe.model0,
+        pipe.dictionary,
+        data.x[: args.steps],
+        data.u[: args.steps],
+        reencode_every=args.reencode_every,
+    )
+    print(
+        json.dumps(
+            {
+                "system": cfg.system,
+                "steps": int(args.steps),
+                "rmse_reference_formula": float(res.rmse_ref),
+                "rmse": float(res.rmse),
+            },
+            indent=2,
+        )
+    )
+
+
+def cmd_train(args):
+    import jax
+    import jax.numpy as jnp
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from .systems import collect, get_system
+    from .train.kmae import KMAEConfig
+    from .train.trainer import export_weights, fit
+
+    system = get_system(args.system)
+    data = collect(
+        system,
+        jax.random.PRNGKey(args.seed),
+        n_step=args.n_step,
+        n_traj=args.n_traj,
+    )
+    cfg = KMAEConfig(pred_horizon=args.pred_horizon, epochs=args.epochs)
+    state, history = fit(
+        data,
+        n_step=args.n_step,
+        cfg=cfg,
+        nlift=args.nlift,
+        hidden=args.hidden,
+        seed=args.seed,
+        checkpoint_path=args.checkpoint,
+        resume=bool(args.checkpoint),
+    )
+    if args.export:
+        export_weights(state, args.export)
+        print(f"weights exported to {args.export}_encoder.mat / _decoder.mat", file=sys.stderr)
+    print(json.dumps({"final": history[-1] if history else None}, indent=2))
+
+
 def cmd_presets(args):
     from . import configs as C
 
@@ -130,14 +227,39 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pr = sub.add_parser("run", help="run a closed-loop scenario")
-    pr.add_argument("--preset", default="duffing", choices=["duffing", "duffing_rbf", "vanderpol", "tank", "revise2_duffing", "toy1d"])
+    pr.add_argument("--preset", default="duffing", choices=["duffing", "duffing_rbf", "vanderpol", "vanderpol_rbf", "tank", "revise2_duffing", "toy1d"])
     pr.add_argument("--config", help="JSON RunConfig file")
     pr.add_argument("--steps", type=int)
     pr.add_argument("--override", "-o", action="append", help="dotted.key=value")
     pr.add_argument("--save-log")
+    pr.add_argument("--archive", help="write a results bundle (.npz)")
+    pr.add_argument("--mat", action="store_true", help="also write the reference-schema .mat bundle")
+    pr.add_argument("--figures", help="prefix for the standard figure set (PNG)")
     pr.add_argument("--cpu", action="store_true")
     pr.add_argument("--x64", action="store_true")
     pr.set_defaults(fn=cmd_run)
+
+    pv = sub.add_parser("validate", help="open-loop multi-step prediction validation")
+    pv.add_argument("--preset", default="duffing", choices=list(__import__("koopmanx.configs", fromlist=["PRESETS"]).PRESETS))
+    pv.add_argument("--steps", type=int, default=500)
+    pv.add_argument("--reencode-every", type=int, default=0)
+    pv.add_argument("--cpu", action="store_true")
+    pv.add_argument("--x64", action="store_true")
+    pv.set_defaults(fn=cmd_validate)
+
+    pt = sub.add_parser("train", help="train a KMAE encoder/decoder")
+    pt.add_argument("--system", default="duffing")
+    pt.add_argument("--nlift", type=int, default=8)
+    pt.add_argument("--hidden", type=int, default=100)
+    pt.add_argument("--epochs", type=int, default=20)
+    pt.add_argument("--pred-horizon", type=int, default=6)
+    pt.add_argument("--n-step", type=int, default=100)
+    pt.add_argument("--n-traj", type=int, default=100)
+    pt.add_argument("--seed", type=int, default=0)
+    pt.add_argument("--checkpoint", help="npz checkpoint path (resume if exists)")
+    pt.add_argument("--export", help="prefix for .mat weight export")
+    pt.add_argument("--cpu", action="store_true")
+    pt.set_defaults(fn=cmd_train)
 
     pb = sub.add_parser("bench", help="run the headline benchmark")
     pb.add_argument("--batch", type=int)

@@ -247,9 +247,20 @@ def toy1d_preset() -> RunConfig:
     )
 
 
+def vanderpol_rbf_preset() -> RunConfig:
+    """vanderpol_RBF.py: the RBF-lifted VDP variant (same dictionary
+    protocol as duffing_RBF.py:20-23, VDP plant/scenario)."""
+    cfg = duffing_rbf_preset()
+    cfg.system = "vanderpol"
+    cfg.switch_step = 100
+    cfg.mpc.u_min, cfg.mpc.u_max = -6.0, 6.0
+    return cfg
+
+
 PRESETS = {
     "duffing": duffing_nn_preset,
     "duffing_rbf": duffing_rbf_preset,
+    "vanderpol_rbf": vanderpol_rbf_preset,
     "vanderpol": vdp_lifted_preset,
     "tank": tank_preset,
     "revise2_duffing": revise2_duffing_preset,
