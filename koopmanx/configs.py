@@ -62,7 +62,7 @@ class MPCConfig:
 
 @dataclasses.dataclass
 class UpdateConfig:
-    mode: str = "rls"  # rls | rls_sqrt | storage | off
+    mode: str = "rls"  # rls | rls_sqrt | rls_chol | storage | off
     c_ab: float = 1e4
     c_c: float = 1e2
     warm_start_from_batch: bool = False

@@ -38,6 +38,8 @@ from ..control.terminal import synthesize_terminal
 from ..edmd.rls import (
     RLSState,
     StorageState,
+    gram_rls_model,
+    gram_rls_update,
     rls_update_ab,
     rls_update_c,
     sqrt_rls_model,
@@ -351,6 +353,14 @@ def make_closed_loop(
                 symmetrize=cfg.symmetrize,
             )
             new_model = model_from_rls(rls, dictionary.nlift)
+        elif cfg.update == "rls_chol":
+            c_target = x_next if cfg.c_pairing == "next" else x
+            rls = gram_rls_update(
+                carry.rls, z, u_applied, z_next, c_target, lam=cfg.rls_lambda
+            )
+            new_model = gram_rls_model(
+                rls, dictionary.nlift, ridge=max(cfg.rls_ridge**2, 1e-7)
+            )
         elif cfg.update == "rls_sqrt":
             rls = sqrt_rls_update_ab(
                 carry.rls, z, u_applied, z_next,

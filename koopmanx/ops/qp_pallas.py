@@ -1,0 +1,267 @@
+"""Pallas TPU megakernel: fused condensed-QP build + ADMM solve.
+
+Why: with the online model update active, the per-step QP pipeline
+(Markov-parameter recursion -> F1/F2 -> H = F2'QF2 + R -> KKT inverse ->
+ADMM iterations) cannot be hoisted out of the time loop, and under XLA it
+executes as ~100 separate batched ops, each round-tripping (batch, ...)
+intermediates through HBM — measured ~11 ms/step at batch 2048 on v5e
+(BENCHMARKS.md). This kernel runs the WHOLE pipeline for a tile of
+scenarios inside VMEM: one HBM read of the models/states, one write of the
+solutions. Per-scenario working set is ~10 KB, so a 128-scenario tile fits
+comfortably in the ~16 MB VMEM budget.
+
+Scope: the box-constrained output-tracking formulation (the flagship
+Duffing/VDP workload — bounds-only constraints, no Δu augmentation). The
+general path (Tank Δu + input rows, Revise_2 state boxes) stays on the XLA
+engine. The KKT inverse uses an in-kernel Newton–Schulz iteration
+(matmul-only; batched triangular solves are sequential on TPU).
+
+The kernel body is the *same math* as the XLA path
+(koopmanx.control.condensed / qp) vectorized over the scenario tile —
+parity is asserted against that path in tests (CPU interpret mode) and on
+hardware.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class FusedQPConfig(NamedTuple):
+    """Static kernel configuration. The stage weights and input bounds are
+    baked in as compile-time constants (tiny 1x1 VMEM operand blocks crash
+    Mosaic's layout inference, and these are run-constants anyway)."""
+
+    horizon: int = 20
+    iters: int = 60
+    rho: float = 0.1
+    sigma: float = 1e-6
+    alpha: float = 1.6
+    schulz_iters: int = 16
+    f_clamp: float = 1e5
+    tile: int = 128  # scenarios per kernel instance
+    qdiag: tuple = (100.0, 100.0)  # stage output weights (py,)
+    rdiag: tuple = (1e-4,)  # stage input weights (m,)
+    u_lo: tuple = (-2.0,)  # input bounds (m,)
+    u_hi: tuple = (2.0,)
+
+
+def _kernel(
+    a_ref,  # (T, nz, nz)
+    at_ref,  # (T, nz, nz)  A^T (host-transposed)
+    b_ref,  # (T, nz, m)
+    bt_ref,  # (T, m, nz)   B^T
+    cyc_ref,  # (T, py, nz)
+    cyct_ref,  # (T, nz, py) (Cy C)^T
+    z_ref,  # (T, nz)
+    yr_ref,  # (T, N*py)
+    warm_ref,  # (T, N*m)
+    u_out_ref,  # (T, N*m)
+    cfg: FusedQPConfig,
+):
+    # NOTE: Mosaic cannot transpose the minor dims of rank-3 VMEM values
+    # (layout crash), so the host passes pre-transposed operands and the
+    # kernel is written entirely transpose-free: F2 and F2^T are each
+    # assembled from their own (transposed) Markov recursions, and the KKT
+    # matrix is symmetric so Schulz seeding needs no transpose either.
+    n_h = cfg.horizon
+    a = a_ref[:]
+    at = at_ref[:]
+    b = b_ref[:]
+    bt = bt_ref[:]
+    cyc = cyc_ref[:]
+    cyct = cyct_ref[:]
+    z0 = z_ref[:]
+    yr = yr_ref[:]
+    warm = warm_ref[:]
+
+    t = a.shape[0]
+    nz = a.shape[-1]
+    m = bt.shape[-2]
+    py = cyc.shape[-2]
+    dtype = a.dtype
+
+    bmm = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (T,i,k) @ (T,k,j) -> (T,i,j)
+
+    # ---- Markov recursions (unrolled, all in VMEM, no transposes) ----
+    # forward:   markov_j   = (Cy C A^j) B          (T, py, m)
+    # transposed: markovT_j = B^T (A^T)^j (Cy C)^T  (T, m, py)
+    # F1 is never materialized: f1z_j = Cy C A^{j+1} z0 comes from the
+    # state recursion s_{j+1} = A s_j.
+    clamp = cfg.f_clamp
+    g = cyc
+    gt = cyct
+    s_vec = z0[:, :, None]  # (T, nz, 1)
+    markov = []
+    markov_t = []
+    f1z_rows = []
+    for _ in range(n_h):
+        mk = jnp.clip(bmm(g, b), -clamp, clamp)  # (T, py, m)
+        markov.append(mk)
+        if m == 1 or py == 1:
+            # transpose of a (py, m) block with a unit dim is a reshape —
+            # avoids both in-kernel transposes (layout crash) and M=1
+            # row-vector matmuls (also layout-fragile in Mosaic)
+            markov_t.append(jnp.reshape(mk, (t, m, py)))
+        else:
+            markov_t.append(jnp.clip(bmm(bt, gt), -clamp, clamp))
+            gt = bmm(at, gt)
+        g = bmm(g, a)
+        s_vec = bmm(a, s_vec)  # A^{j+1} z0
+        f1z_rows.append(jnp.clip(bmm(cyc, s_vec), -clamp, clamp))  # (T, py, 1)
+    f1z = jnp.concatenate(f1z_rows, axis=1)  # (T, N*py, 1)
+
+    # F2[i, j] = markov[i - j] (block lower-triangular Toeplitz) and its
+    # transpose F2T[j, i] = markovT[i - j], each assembled directly
+    zero_blk = jnp.zeros((t, py, m), dtype)
+    zero_blk_t = jnp.zeros((t, m, py), dtype)
+    f2_rows = []
+    f2t_rows = []
+    for i in range(n_h):
+        blocks = [
+            markov[i - j] if i >= j else zero_blk for j in range(n_h)
+        ]
+        f2_rows.append(jnp.concatenate(blocks, axis=2))  # (T, py, N*m)
+        blocks_t = [
+            markov_t[j - i] if j >= i else zero_blk_t for j in range(n_h)
+        ]
+        f2t_rows.append(jnp.concatenate(blocks_t, axis=2))  # (T, m, N*py)
+    f2 = jnp.concatenate(f2_rows, axis=1)  # (T, N*py, N*m)
+    f2t = jnp.concatenate(f2t_rows, axis=1)  # (T, N*m, N*py)
+
+    # ---- cost: P = 2(F2' Qbar F2 + Rbar), q = 2 F2' Qbar (F1 z0 - yr) ----
+    # periodic diagonal weights from scalar literals (pallas kernels may
+    # not capture array constants): entry i gets cfg.qdiag[i % py]
+    def periodic(vals, length, period):
+        idx = jax.lax.broadcasted_iota(jnp.int32, (1, length), 1) % period
+        out = jnp.zeros((1, length), dtype)
+        for k, v in enumerate(vals):
+            out = jnp.where(idx == k, jnp.asarray(v, dtype), out)
+        return out
+
+    qbar_diag = periodic(cfg.qdiag, n_h * py, py)  # (1, N*py)
+    rbar_diag = periodic(cfg.rdiag, n_h * m, m)  # (1, N*m)
+    f2q = f2 * qbar_diag[:, :, None]  # Qbar F2 (diagonal Qbar)
+    h = bmm(f2t, f2q)  # F2' (Qbar F2): (T, N*m, N*m)
+    nxm = n_h * m
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (nxm, nxm), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (nxm, nxm), 1)
+    diag_mask = (row_ids == col_ids).astype(dtype)
+    h = h + (diag_mask * rbar_diag)[None]
+    # H is symmetric up to rounding (F2' diag(q) F2 + diag(r)); skip the
+    # explicit symmetrization (would need a minor-dim transpose)
+    p_mat = 2.0 * h
+
+    # vectors stay rank-3 (T, d, 1): Mosaic's tpu.matmul requires matrix
+    # operands (batched mat-vec with a rank-2 result fails to lower)
+    yr_c = yr[:, :, None]
+    err = (f1z - yr_c) * qbar_diag[:, :, None]  # Qbar (F1 z0 - yr)
+    q_vec = 2.0 * bmm(f2t, err)  # (T, N*m, 1)
+
+    # ---- KKT inverse via Newton–Schulz (matmul-only) ----
+    nx = n_h * m
+    eye = jnp.eye(nx, dtype=dtype)
+    # keep per-scenario scalars rank-3 (T, 1, 1) throughout (Mosaic layouts)
+    trace_p = jnp.sum(p_mat * eye[None], axis=(1, 2), keepdims=True)
+    rho3 = cfg.rho * jnp.maximum(trace_p / nx, 1e-6)  # (T, 1, 1)
+    kkt = p_mat + (cfg.sigma + rho3) * eye[None]
+    norm1 = jnp.max(
+        jnp.sum(jnp.abs(kkt), axis=1, keepdims=True), axis=-1, keepdims=True
+    )  # (T, 1, 1)
+    norminf = jnp.max(
+        jnp.sum(jnp.abs(kkt), axis=2, keepdims=True), axis=1, keepdims=True
+    )
+    # KKT is symmetric: seed with itself (no transpose)
+    x_inv = kkt / (norm1 * norminf)
+    eye2 = 2.0 * eye[None]
+
+    def schulz_body(i, x_inv):
+        return bmm(x_inv, eye2 - bmm(kkt, x_inv))
+
+    x_inv = jax.lax.fori_loop(0, cfg.schulz_iters, schulz_body, x_inv)
+
+    # ---- ADMM (box constraints: A = I) ----
+    lo = periodic(cfg.u_lo, n_h * m, m)[:, :, None]  # (1, N*m, 1)
+    hi = periodic(cfg.u_hi, n_h * m, m)[:, :, None]
+    x = warm[:, :, None]
+    y = jnp.zeros_like(x)
+    zv = jnp.clip(x, lo, hi)
+    rho_b = rho3
+
+    def admm_body(i, carry):
+        x, zv, y = carry
+        rhs = cfg.sigma * x - q_vec + rho_b * zv - y
+        xt = bmm(x_inv, rhs)
+        x_mid = cfg.alpha * xt + (1.0 - cfg.alpha) * zv
+        z_new = jnp.clip(x_mid + y / rho_b, lo, hi)
+        y_new = y + rho_b * (x_mid - z_new)
+        return xt, z_new, y_new
+
+    x, zv, y = jax.lax.fori_loop(0, cfg.iters, admm_body, (x, zv, y))
+    u_out_ref[:] = zv[:, :, 0]  # the projected (feasible) iterate
+
+
+def fused_qp_solve(
+    a: Array,  # (B, nz, nz)
+    b: Array,  # (B, nz, m)
+    cyc: Array,  # (B, py, nz)  — Cy @ C per scenario
+    z0: Array,  # (B, nz)
+    yr: Array,  # (B, N*py)
+    warm: Array,  # (B, N*m)
+    cfg: FusedQPConfig = FusedQPConfig(),
+    interpret: bool = False,
+) -> Array:
+    """(transposed operands are derived on the host — XLA transposes of
+    batched small matrices are cheap; Mosaic in-kernel ones crash)."""
+    """Solve a batch of box-constrained condensed MPC QPs in one fused
+    Pallas kernel. Returns the stacked input sequences (B, N*m).
+
+    Batch must be divisible by ``cfg.tile`` (pad upstream).
+    """
+    bsz = a.shape[0]
+    tile = min(cfg.tile, bsz)
+    assert bsz % tile == 0, (bsz, tile)
+    n_h, m = cfg.horizon, b.shape[-1]
+    grid = (bsz // tile,)
+
+    def tiled(*dims):
+        return pl.BlockSpec(
+            (tile,) + tuple(dims),
+            lambda i: (i,) + (0,) * len(dims),
+            memory_space=pltpu.VMEM,
+        )
+
+    nz, py = a.shape[-1], cyc.shape[-2]
+    kernel = functools.partial(_kernel, cfg=cfg)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bsz, n_h * m), a.dtype),
+        grid=grid,
+        in_specs=[
+            tiled(nz, nz),
+            tiled(nz, nz),
+            tiled(nz, m),
+            tiled(m, nz),
+            tiled(py, nz),
+            tiled(nz, py),
+            tiled(nz),
+            tiled(n_h * py),
+            tiled(n_h * m),
+        ],
+        out_specs=tiled(n_h * m),
+        interpret=interpret,
+    )
+    at = jnp.swapaxes(a, -1, -2)
+    bt = jnp.swapaxes(b, -1, -2)
+    cyct = jnp.swapaxes(cyc, -1, -2)
+    return call(a, at, b, bt, cyc, cyct, z0, yr, warm)

@@ -18,6 +18,8 @@ from . import configs as C
 from .control.qp import ADMMConfig
 from .edmd.batch import edmd_fit, gram_stats, lift_snapshots
 from .edmd.rls import (
+    gram_rls_init,
+    gram_rls_init_from_grams,
     rls_init,
     rls_init_from_grams,
     sqrt_rls_init,
@@ -218,10 +220,16 @@ def build_pipeline(cfg: C.RunConfig, x_init=None) -> Pipeline:
             rls0 = storage_init(stats)
         elif uc.mode == "rls_sqrt":
             rls0 = sqrt_rls_init_from_grams(stats)
+        elif uc.mode == "rls_chol":
+            rls0 = gram_rls_init_from_grams(stats)
         else:
             rls0 = rls_init_from_grams(stats)
     elif uc.mode == "rls_sqrt":
         rls0 = sqrt_rls_init(
+            dictionary.nlift, system.m, system.n, uc.c_ab, uc.c_c, dtype
+        )
+    elif uc.mode == "rls_chol":
+        rls0 = gram_rls_init(
             dictionary.nlift, system.m, system.n, uc.c_ab, uc.c_c, dtype
         )
     else:
