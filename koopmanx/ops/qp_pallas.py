@@ -90,7 +90,7 @@ def _kernel(
     bmm = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=dtype,
     )  # (T,i,k) @ (T,k,j) -> (T,i,j)
 
     # ---- Markov recursions (unrolled, all in VMEM, no transposes) ----
