@@ -187,3 +187,121 @@ def duffing_closed_loop_oracle(
             c = bar_x @ bar_q
         x = x_next
     return np.stack(log_x), np.stack(log_u)
+
+
+def generate_vdp_data(
+    seed: int = 101, n_step: int = 100, n_traj: int = 100
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Replicate data_generate.vanderpol_generate() streams exactly
+    (data_generate.py:81-152: same U[-2,2] excitation protocol, VDP field)."""
+    n, h = 2, 0.05
+    rng = np.random
+    rng.seed(seed)
+    u0 = 4.0 * rng.rand(n_step, n_traj) - 2.0
+    x0 = 4.0 * rng.rand(n, n_traj) - 2.0
+
+    fv = lambda x, u: np.stack(
+        [2.0 * x[1], 2.0 * x[1] - 10.0 * x[0] ** 2 * x[1] - 0.8 * x[0] + u]
+    )
+
+    def rk4v(x, u):
+        k1 = fv(x, u)
+        k2 = fv(x + 0.5 * h * k1, u)
+        k3 = fv(x + 0.5 * h * k2, u)
+        k4 = fv(x + h * k3, u)
+        return x + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+    x = x0.copy()
+    xs, ys, us = [], [], []
+    for i in range(n_step):
+        x_next = rk4v(x, u0[i])
+        xs.append(x.copy())
+        ys.append(x_next.copy())
+        us.append(u0[i].copy())
+        x = x_next
+    X = np.concatenate(xs, axis=1)
+    Y = np.concatenate(ys, axis=1)
+    U = np.stack(us).reshape(1, -1)
+    idx = np.array(
+        [i + j * n_traj for i in range(n_traj) for j in range(n_step)]
+    )
+    return X[:, idx], Y[:, idx], U[:, idx]
+
+
+def mpc_solve_lbfgsb_lifted(
+    a, b, z0, r_lift, horizon, bounds, q_weight=100.0, r_weight=1e-4
+):
+    """L-BFGS-B on the lifted-tracking shooting cost (vanderpol.py:456-487:
+    y = z compared against the encoded reference, zero start)."""
+    from scipy.optimize import minimize
+
+    ab = np.concatenate([a, b], axis=1)
+
+    def cost(u_seq):
+        z = z0.copy()
+        total = 0.0
+        for i, u in enumerate(u_seq):
+            z = ab @ np.concatenate([z, [u]])
+            err = z - r_lift[:, i]
+            total += np.sum(err * err)
+        return q_weight * total + r_weight * np.sum(u_seq * u_seq)
+
+    res = minimize(cost, np.zeros(horizon), bounds=bounds)
+    return res.x
+
+
+def vdp_closed_loop_oracle(
+    enc,
+    a0,
+    b0,
+    c0,
+    steps: int = 70,
+    horizon: int = 10,
+    update: bool = True,
+    switch_step: int = 100,
+    x_init=(-2.0, -2.0),
+    u_bound: float = 6.0,
+    c_rls_init: float = 1e5,
+    ab_rls_init: float = 1e5,
+):
+    """vanderpol.py's closed loop 2 (:746-951) in NumPy f64: lifted
+    tracking of the encoded constant reference [1, 0], live parameter
+    switch (:923-931 rebuilds the RK4 chain when i > 100 — effective from
+    the NEXT iteration), RLS inits 1e5 (:874, :888)."""
+    h = 0.05
+    nominal = oracle.vdp_f()
+    switched = oracle.vdp_f(a=1.0, b=-3.0, c=-10.0, d=-3.0)
+    bounds = [(-u_bound, u_bound)] * horizon
+    nlift = a0.shape[0]
+
+    r_state = np.array([1.0, 0.0])
+    r_lift_col = encoder_forward(enc, r_state[:, None]).ravel()
+    r_lift = np.tile(r_lift_col[:, None], (1, horizon))
+
+    a, b = a0.copy(), b0.copy()
+    x = np.asarray(x_init, dtype=np.float64)
+    k_a = np.zeros((nlift, nlift + 1))
+    inv_g = ab_rls_init * np.eye(nlift + 1)
+    bar_x = np.zeros((2, nlift))
+    bar_q = c_rls_init * np.eye(nlift)
+    log_x, log_u = [], []
+    f = nominal
+    for i in range(steps):
+        z = encoder_forward(enc, x[:, None]).ravel()
+        u_seq = mpc_solve_lbfgsb_lifted(a, b, z, r_lift, horizon, bounds)
+        u = np.array([u_seq[0]])
+        step_fn = oracle.rk4(f, h)
+        x_next = step_fn(x, u)
+        log_x.append(x.copy())
+        log_u.append(u.copy())
+        if update:
+            z_next = encoder_forward(enc, x_next[:, None]).ravel()
+            k_a, inv_g = oracle.rls_ab_step(k_a, inv_g, z, u, z_next)
+            bar_x, bar_q = oracle.rls_c_step(bar_x, bar_q, z, x_next)
+            k_ext = k_a @ inv_g
+            a = k_ext[:, :nlift]
+            b = k_ext[:, nlift:]
+        if i > switch_step:  # rebuilt at end of body -> next step switched
+            f = switched
+        x = x_next
+    return np.stack(log_x), np.stack(log_u)

@@ -128,3 +128,63 @@ def test_closed_loop_parity(reference_setup, update):
     # state trajectory is the parity criterion, u just must stay close
     u_err = np.abs(np.asarray(log.u) - log_u_o).max()
     assert u_err < 0.5
+
+
+VDP_WEIGHTS = "/root/reference/VDP_Revise_2/Good_VDP.mat"
+
+
+@pytest.fixture(scope="module")
+def vdp_setup():
+    X, Y, U = parity.generate_vdp_data(seed=101, n_step=60, n_traj=60)
+    enc = parity.load_encoder_np(VDP_WEIGHTS)
+    a0, b0, c0 = parity.edmd_fit_np(enc, X, Y, U)
+    return X, Y, U, enc, a0, b0, c0
+
+
+def test_vdp_closed_loop_parity_with_live_switch(vdp_setup):
+    """Gate 5b: the VDP lifted-tracking loop — encoded reference, online
+    RLS, and the LIVE plant-parameter switch (vanderpol.py:923-931) — vs
+    the L-BFGS-B oracle."""
+    from koopmanx.systems import VANDERPOL
+
+    X, Y, U, enc, a0, b0, c0 = vdp_setup
+    steps = 60
+    switch = 40
+    log_x_o, log_u_o = parity.vdp_closed_loop_oracle(
+        enc, a0, b0, c0, steps=steps, update=True, switch_step=switch
+    )
+
+    d = encoder_dictionary(load_mat_mlp(VDP_WEIGHTS, dtype=jnp.float64), n=2)
+    cfg = EngineConfig(
+        horizon=10,
+        steps=steps,
+        update="rls",
+        c_pairing="next",
+        symmetrize=False,
+        track_lifted=True,
+        switch_step=switch + 1,  # reference rebuilds at end of body i>switch
+        qp_iters=200,
+        qp_rho=0.1,
+    )
+    base = refgen.constant_state(
+        jnp.array([1.0, 0.0], dtype=jnp.float64), 10, dtype=jnp.float64
+    )
+    ref_fn = refgen.encoded(base, d, 2)
+    loop = make_closed_loop(VANDERPOL, d, cfg, ref_fn)
+    params = MPCParams(
+        q_block=100.0 * jnp.eye(8, dtype=jnp.float64),
+        r_block=1e-4 * jnp.eye(1, dtype=jnp.float64),
+        u_min=jnp.array([-6.0], dtype=jnp.float64),
+        u_max=jnp.array([6.0], dtype=jnp.float64),
+    )
+    model0 = LinearModel(A=jnp.asarray(a0), B=jnp.asarray(b0), C=jnp.asarray(c0))
+    rls0 = rls_init(8, 1, 2, c_ab=1e5, c_c=1e5, dtype=jnp.float64)
+    _, log = jax.jit(loop)(
+        params, jnp.array([-2.0, -2.0], dtype=jnp.float64), model0, rls0
+    )
+    x_ours = np.asarray(log.x)
+    err = np.abs(x_ours - log_x_o).max()
+    assert err < 0.15, (
+        f"max VDP traj deviation {err}; ours tail {x_ours[-3:,0]}, "
+        f"oracle tail {log_x_o[-3:,0]}"
+    )
