@@ -212,6 +212,60 @@ def cmd_train(args):
     print(json.dumps({"final": history[-1] if history else None}, indent=2))
 
 
+def cmd_sweep(args):
+    """Pod-scale randomized scenario sweep (BASELINE.json config 5)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from . import configs as C
+    from .engine.scenario import sample_scenarios
+    from .run import build_pipeline, run_scenarios
+    from .systems import get_system
+
+    cfg = C.PRESETS[args.preset]()
+    cfg.steps = args.steps
+    cfg = _apply_overrides(cfg, args.override or [])
+    pipe = build_pipeline(cfg)
+    batch = sample_scenarios(
+        get_system(cfg.system),
+        jax.random.PRNGKey(args.seed),
+        batch=args.batch,
+        param_scale=args.param_scale,
+        dtype=jnp.float32 if cfg.dtype == "float32" else jnp.float64,
+    )
+    import time
+
+    t0 = time.perf_counter()
+    carries, logs = run_scenarios(pipe, batch)
+    jax.block_until_ready(logs.x)
+    wall = time.perf_counter() - t0
+
+    x = np.asarray(logs.x)  # (B, T, n)
+    track_err = np.abs(x[:, -min(50, cfg.steps):, 0] - cfg.reference_value).mean(axis=1)
+    finite = np.isfinite(x).all(axis=(1, 2))
+    print(
+        json.dumps(
+            {
+                "system": cfg.system,
+                "scenarios": args.batch,
+                "steps": cfg.steps,
+                "param_scale": args.param_scale,
+                "wall_s": round(wall, 3),
+                "solves_per_s": round(args.batch * cfg.steps / wall, 1),
+                "finite_fraction": float(finite.mean()),
+                "tracking_err_mean": float(track_err[finite].mean()),
+                "tracking_err_p95": float(np.percentile(track_err[finite], 95)),
+                "tracking_err_max": float(track_err[finite].max()),
+            },
+            indent=2,
+        )
+    )
+
+
 def cmd_presets(args):
     from . import configs as C
 
@@ -266,6 +320,16 @@ def main(argv=None):
     pb.add_argument("--steps", type=int)
     pb.add_argument("--horizon", type=int)
     pb.set_defaults(fn=cmd_bench)
+
+    ps = sub.add_parser("sweep", help="randomized scenario sweep (batched plants)")
+    ps.add_argument("--preset", default="duffing")
+    ps.add_argument("--batch", type=int, default=1024)
+    ps.add_argument("--steps", type=int, default=200)
+    ps.add_argument("--param-scale", type=float, default=0.2)
+    ps.add_argument("--seed", type=int, default=0)
+    ps.add_argument("--override", "-o", action="append")
+    ps.add_argument("--cpu", action="store_true")
+    ps.set_defaults(fn=cmd_sweep)
 
     pp = sub.add_parser("presets", help="list reference-scenario presets")
     pp.add_argument("--verbose", "-v", action="store_true")

@@ -18,3 +18,4 @@ from .terminal import (
 )
 from .lmi import LMIResult, solve_terminal_lmi
 from .dare import solve_dlyap_doubling
+from .terminal import compensator_term, gamma_margin

@@ -77,3 +77,21 @@ def ellipsoid_radius(p: Array, c: Array, gamma: Array) -> Array:
     invariant-ellipsoid section plotted at Revise_2/Koopman_update.m:521-535."""
     cpc = c @ p @ c.T
     return jnp.linalg.cholesky(cpc / gamma)
+
+
+def compensator_term(
+    model: LinearModel, k: Array, z: Array, u: Array, z_next: Array
+) -> Array:
+    """K (zeta - (A z + B u)) — the residual-feedback compensator the
+    reference logs per step (Revise_2/Koopman_update.m:251)."""
+    return k @ (z_next - (model.A @ z + model.B @ u))
+
+
+def gamma_margin(
+    p: Array, c: Array, gamma: Array, psi_err: Array, x_err: Array
+) -> Array:
+    """gamma - (V - x_err' C P C' x_err) — the invariant-set margin series
+    (Revise_2/Koopman_update.m:385)."""
+    v = psi_err @ p @ psi_err
+    cpc = c @ p @ c.T
+    return gamma - (v - x_err @ cpc @ x_err)

@@ -6,3 +6,12 @@ from .metrics import (
     tracking_mse,
 )
 from .openloop import OpenLoopResult, openloop_validate
+from .modes import (
+    KoopmanSpectrum,
+    eigenfunctions,
+    mode_amplitudes,
+    reconstruct_prediction,
+    spectral_decomposition,
+    spectrum_summary,
+)
+from .persist import archive_run, load_pytree, save_pytree

@@ -16,3 +16,9 @@ from .library import (
     VANDERPOL,
     get_system,
 )
+from .linearize import (
+    affine_residual,
+    batch_linearize_discrete,
+    linearize_continuous,
+    linearize_discrete,
+)

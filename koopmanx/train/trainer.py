@@ -135,3 +135,30 @@ def export_weights(state: KMAEState, path_prefix: str) -> None:
     (duffing.py:61-64: W (out,in), b (1,out))."""
     save_mat_mlp(path_prefix + "_encoder.mat", state.params.encoder)
     save_mat_mlp(path_prefix + "_decoder.mat", state.params.decoder)
+
+
+def evaluate(
+    state: KMAEState,
+    data: Snapshots,
+    n_step: int,
+    cfg: KMAEConfig = KMAEConfig(),
+    dtype=jnp.float32,
+) -> dict:
+    """Inference-side loss report on fresh data (the reference's
+    no-backward harness, duffing.py:179-235: recompute L_rec/L_lin/L_pred
+    once and print)."""
+    from .kmae import kmae_loss
+
+    x = data.x.astype(dtype)
+    y = data.y.astype(dtype)
+    u = data.u.astype(dtype)
+    x_win, u_win = make_windows(x, y, u, n_step, cfg.pred_horizon)
+    loss, aux = kmae_loss(
+        state.params, state.a_prev, state.b_prev, x, y, u, x_win, u_win, cfg
+    )
+    return {
+        "loss": float(loss),
+        "l_rec": float(aux["l_rec"]),
+        "l_lin": float(aux["l_lin"]),
+        "l_pred": float(aux["l_pred"]),
+    }

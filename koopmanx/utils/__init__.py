@@ -1,0 +1,1 @@
+from .profiling import StepTimer, solves_per_second, time_jitted, trace

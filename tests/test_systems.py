@@ -90,3 +90,39 @@ def test_collect_shapes_and_layout():
     )
     # inputs stay inside the excitation range (data_generate.py:33)
     assert float(jnp.abs(data.u).max()) <= 2.0
+
+
+def test_linearize_discrete_matches_finite_differences():
+    """Autodiff Jacobian of the RK4 step vs central finite differences —
+    the reference's sympy-Jacobian baseline capability (duffing.py:615-622)
+    done with jax.jacfwd."""
+    from koopmanx.systems.linearize import affine_residual, linearize_discrete
+
+    x = jnp.array([0.4, -0.8], dtype=jnp.float64)
+    u = jnp.array([0.3], dtype=jnp.float64)
+    model = linearize_discrete(DUFFING, x, u, h=0.05)
+    step = make_step(DUFFING, 0.05)
+    eps = 1e-6
+    for j in range(2):
+        dx = jnp.zeros(2, dtype=jnp.float64).at[j].set(eps)
+        fd = (np.asarray(step(x + dx, u, DUFFING.theta0)) -
+              np.asarray(step(x - dx, u, DUFFING.theta0))) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(model.A[:, j]), fd, atol=1e-8)
+    du = jnp.array([eps], dtype=jnp.float64)
+    fd_b = (np.asarray(step(x, u + du, DUFFING.theta0)) -
+            np.asarray(step(x, u - du, DUFFING.theta0))) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(model.B[:, 0]), fd_b, atol=1e-8)
+    # affine model is exact at the linearization point
+    d = affine_residual(DUFFING, x, u, model)
+    pred = np.asarray(model.A @ x + model.B @ u + d)
+    np.testing.assert_allclose(pred, np.asarray(step(x, u, DUFFING.theta0)), rtol=1e-12)
+
+
+def test_batch_linearize():
+    from koopmanx.systems.linearize import batch_linearize_discrete
+
+    xs = jnp.array([[0.1, 0.2], [0.5, -0.5]], dtype=jnp.float64)
+    us = jnp.array([[0.0], [1.0]], dtype=jnp.float64)
+    models = batch_linearize_discrete(DUFFING, xs, us)
+    assert models.A.shape == (2, 2, 2)
+    assert np.isfinite(np.asarray(models.A)).all()
