@@ -54,11 +54,14 @@ def prediction_matrices(
     model: LinearModel,
     horizon: int,
     cy: Optional[Array] = None,
+    method: str = "doubling",
 ) -> PredictionMatrices:
     """Build F1/F2 for a (possibly Δu-augmented) model.
 
     ``cy`` selects tracked outputs from ``C z`` (``Cy = [0 1]``,
     Tank_System.m:113); ``None`` tracks the full output ``C z``.
+    ``method``: 'doubling' (log-depth, default) or 'scan' (linear-depth
+    recursion, bitwise-closest to the reference's power loop).
     """
     c = model.C
     cy_c = c if cy is None else cy @ c
@@ -66,7 +69,10 @@ def prediction_matrices(
     nz = model.A.shape[-1]
     m = model.B.shape[-1]
 
-    rows, markov = markov_scan(model.A, model.B, cy_c, horizon)
+    if method == "doubling":
+        rows, markov = markov_doubling(model.A, model.B, cy_c, horizon)
+    else:
+        rows, markov = markov_scan(model.A, model.B, cy_c, horizon)
     f1 = rows.reshape(horizon * py, nz)
 
     # F2[i, j] = markov[i - j] for i >= j (block indices), else 0.
@@ -155,3 +161,35 @@ def condensed_qp(
             [jnp.broadcast_to(u_max, (nx,)), u_ineq], axis=0
         )
     return QPData(P=p, q=q, A=a, l=l, u=u)
+
+
+def markov_doubling(a: Array, b: Array, cy_c: Array, horizon: int):
+    """Markov parameters + F1 rows with log-depth doubling.
+
+    The scan in :func:`markov_scan` is ``horizon`` sequential tiny GEMMs —
+    inside the closed-loop time scan that sequential chain dominates
+    latency. Doubling builds the power stack [A^1..A^N] in ceil(log2 N)
+    rounds of progressively wider batched matmuls (stack @ A^(2^k)), then
+    gets all rows/Markov params with two einsums:
+
+      rows_j   = CyC A^{j+1}
+      markov_j = (CyC A^j) B
+
+    Identical results (up to float reassociation), ~4x shorter critical
+    path and MXU-friendlier shapes.
+    """
+    nz = a.shape[-1]
+    dtype = a.dtype
+    # power stack [A^1] -> [A^1..A^2] -> ... -> [A^1..A^N']
+    powers = a[None]  # (1, nz, nz)
+    while powers.shape[0] < horizon + 1:
+        top = powers[-1]  # A^(len)
+        powers = jnp.concatenate([powers, powers @ top], axis=0)
+    powers = powers[: horizon + 1]  # A^1..A^(N+1) — need up to A^N for rows
+    eye = jnp.eye(nz, dtype=dtype)
+    pow0 = jnp.concatenate([eye[None], powers[:-1]], axis=0)  # A^0..A^(N-1)
+
+    cyc_pows = jnp.einsum("pn,jnk->jpk", cy_c, pow0)  # (N, py, nz) CyC A^j
+    markov = cyc_pows @ b  # (N, py, m)
+    rows = jnp.einsum("pn,jnk->jpk", cy_c, powers[:horizon])  # CyC A^{j+1}
+    return rows, markov
