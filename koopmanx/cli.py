@@ -281,7 +281,11 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pr = sub.add_parser("run", help="run a closed-loop scenario")
-    pr.add_argument("--preset", default="duffing", choices=["duffing", "duffing_rbf", "vanderpol", "vanderpol_rbf", "tank", "revise2_duffing", "toy1d"])
+    pr.add_argument(
+        "--preset",
+        default="duffing",
+        choices=list(__import__("koopmanx.configs", fromlist=["PRESETS"]).PRESETS),
+    )
     pr.add_argument("--config", help="JSON RunConfig file")
     pr.add_argument("--steps", type=int)
     pr.add_argument("--override", "-o", action="append", help="dotted.key=value")

@@ -111,7 +111,12 @@ class RunConfig:
 def duffing_nn_preset() -> RunConfig:
     """duffing.py flagship loop: NN lift (Nlift=8), Np=Nc=10, u∈[-2,2],
     Q=100 on outputs / R=1e-4 (costFunction :577), r≡1 (:748), RLS init
-    invG=1e4 I (:929), barQ=100 I (:946), inert plant switch."""
+    invG=1e4 I (:929), barQ=100 I (:946), inert plant switch.
+
+    Encoder weights resolve in order: the reference's pretrained artifact
+    (when mounted), the in-repo self-trained KMAE artifact
+    (artifacts/duffing_kmae_encoder.mat — trained with koopmanx.train),
+    else random init."""
     return RunConfig(
         system="duffing",
         steps=10000,
@@ -257,8 +262,47 @@ def vanderpol_rbf_preset() -> RunConfig:
     return cfg
 
 
+def duffing_selftrained_preset() -> RunConfig:
+    """The fully self-contained pipeline: the duffing scenario controlled
+    by the encoder trained in-repo by koopmanx.train (no reference
+    artifacts involved anywhere)."""
+    cfg = duffing_nn_preset()
+    import os
+
+    cfg.lift.weights_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts",
+        "duffing_kmae_encoder.mat",
+    )
+    return cfg
+
+
+def vanderpol_selftrained_preset() -> RunConfig:
+    """Self-contained VDP: the in-repo KMAE encoder (trained with ±6
+    excitation to match the control range) under OUTPUT tracking
+    (y = C z vs [1,0]). Lifted-space tracking — the vanderpol.py
+    formulation — is encoder-sensitive: it works with the reference's
+    hand-picked Good_VDP weights but a generically-trained KMAE encoder
+    settles at the wrong point (the cost ||z - Enc(r)||^2 only aligns with
+    the output objective near r for a well-conditioned encoder); output
+    tracking is robust to the encoder choice."""
+    import os
+
+    cfg = vdp_lifted_preset()
+    cfg.mpc.track_lifted = False
+    cfg.data.u_range = (-6.0, 6.0)
+    cfg.lift.weights_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts",
+        "vanderpol_kmae_encoder.mat",
+    )
+    return cfg
+
+
 PRESETS = {
     "duffing": duffing_nn_preset,
+    "duffing_selftrained": duffing_selftrained_preset,
+    "vanderpol_selftrained": vanderpol_selftrained_preset,
     "duffing_rbf": duffing_rbf_preset,
     "vanderpol_rbf": vanderpol_rbf_preset,
     "vanderpol": vdp_lifted_preset,

@@ -63,7 +63,16 @@ def build_dictionary(
         import os
 
         if lc.weights_path and not os.path.exists(lc.weights_path):
-            lc = dataclasses.replace(lc, weights_path=None)  # fall back to random init
+            # fall back: in-repo self-trained artifact for this system
+            # (artifacts/<system>_kmae_encoder.mat), else random init
+            alt = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "artifacts",
+                f"{system.name}_kmae_encoder.mat",
+            )
+            lc = dataclasses.replace(
+                lc, weights_path=alt if os.path.exists(alt) else None
+            )
         if lc.weights_path and lc.weights_path.endswith(".mat"):
             params = load_mat_mlp(lc.weights_path, dtype=dtype)
         elif lc.weights_path and lc.weights_path.endswith(".pkl"):

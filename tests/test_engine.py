@@ -151,3 +151,45 @@ def test_lmi_terminal_mode_runs():
     assert np.isfinite(np.asarray(log.x)).all()
     assert np.isfinite(np.asarray(log.lyapunov)).all()
     assert float(np.asarray(log.lyapunov).max()) > 0.0
+
+
+def test_selftrained_encoder_controls():
+    """The fully self-contained pipeline: the in-repo KMAE-trained encoder
+    (artifacts/, produced by koopmanx.train — no reference artifacts)
+    closes the loop and tracks r=1."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts",
+        "duffing_kmae_encoder.mat",
+    )
+    if not os.path.exists(path):
+        pytest.skip("self-trained artifact not present")
+    cfg = C.PRESETS["duffing_selftrained"]()
+    cfg.steps = 200
+    cfg.data = C.DataConfig(n_step=40, n_traj=40)
+    pipe = build_pipeline(cfg)
+    _, log = run_single(pipe)
+    x1 = np.asarray(log.x[:, 0], dtype=np.float64)
+    assert abs(x1[-20:].mean() - 1.0) < 0.1, x1[-5:]
+
+
+def test_selftrained_vdp_output_tracking():
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts",
+        "vanderpol_kmae_encoder.mat",
+    )
+    if not os.path.exists(path):
+        pytest.skip("self-trained artifact not present")
+    cfg = C.PRESETS["vanderpol_selftrained"]()
+    cfg.steps = 250
+    cfg.data = C.DataConfig(n_step=40, n_traj=40, u_range=(-6.0, 6.0))
+    pipe = build_pipeline(cfg)
+    _, log = run_single(pipe)
+    x1 = np.asarray(log.x[:, 0], dtype=np.float64)
+    assert np.isfinite(x1).all()
+    assert abs(x1[-20:].mean() - 1.0) < 0.15, x1[-5:]
