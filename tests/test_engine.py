@@ -193,3 +193,19 @@ def test_selftrained_vdp_output_tracking():
     x1 = np.asarray(log.x[:, 0], dtype=np.float64)
     assert np.isfinite(x1).all()
     assert abs(x1[-20:].mean() - 1.0) < 0.15, x1[-5:]
+
+
+def test_state_bounds_constrain_output():
+    """Revise_2's state-box rows (built-but-disabled in the reference,
+    Koopman_update.m:205-214) actively enforced: predicted outputs stay
+    inside the box and the loop still tracks."""
+    cfg = small_duffing_cfg(steps=120)
+    cfg.mpc.state_bounds = (-1.05, 1.05)
+    pipe = build_pipeline(cfg)
+    _, log = run_single(pipe)
+    x1 = np.asarray(log.x[:, 0])
+    assert np.isfinite(x1).all()
+    # the unconstrained loop overshoots past 1.05; with the state box the
+    # trajectory stays (softly) within it after the initial transient
+    assert x1[20:].max() < 1.15, x1[20:].max()
+    assert abs(x1[-20:].mean() - 1.0) < 0.15

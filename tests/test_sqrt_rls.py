@@ -70,3 +70,17 @@ def test_sqrt_rls_is_f32_stable_where_sm_is_not():
     assert np.isfinite(np.asarray(log.x)).all()
     # pre-switch window settles near 1
     assert abs(x2[60:100].mean() - 1.0) < 0.25, x2[80:100]
+
+
+def test_rls_chol_mode_tracks():
+    """Gram-carry + Newton-Schulz extraction ('rls_chol') — the fastest
+    f32 estimator — closes the duffing loop."""
+    cfg = C.duffing_nn_preset()
+    cfg.steps = 150
+    cfg.update.mode = "rls_chol"
+    cfg.data = C.DataConfig(n_step=40, n_traj=40)
+    pipe = build_pipeline(cfg)
+    _, log = run_single(pipe)
+    x1 = np.asarray(log.x[:, 0], dtype=np.float64)
+    assert np.isfinite(x1).all()
+    assert abs(x1[-20:].mean() - 1.0) < 0.1
