@@ -305,3 +305,82 @@ def vdp_closed_loop_oracle(
             f = switched
         x = x_next
     return np.stack(log_x), np.stack(log_u)
+
+
+def tank_closed_loop_oracle(
+    lift_fn,
+    a0,
+    b0,
+    c0,
+    steps: int = 60,
+    horizon: int = 20,
+    q_weight: float = 10.0,
+    r_weight: float = 1e-3,
+    du_bound: float = 0.5,
+    u_bounds=(-8.0, 8.0),
+    switch_step: int = 100,
+    update: bool = True,
+    rls_init: float = 1e4,
+):
+    """Tank_System.m's serve loop in NumPy f64: Δu-augmented condensed QP
+    (prediction matrices via the explicit power loops, :129-144), exact
+    QP solves (quadprog semantics via scipy), input-magnitude constraint on
+    U0 + Δu_0 (:147-150, 182-186), scratch RLS with 'same' C-pairing
+    (:233-263), per-step controller rebuild (:272-290), plant switch
+    (:194-203). ``lift_fn(x)->z`` must be the same dictionary the engine
+    uses (pass in the jitted dictionary evaluated via numpy bridge).
+
+    Data/RNG streams are NOT MATLAB's (rng(55) is not replicable in
+    NumPy); parity is engine-vs-oracle on identical inputs, not vs MATLAB.
+    """
+    from . import oracle as _oracle
+
+    nominal = _oracle.tank_step()
+    switched = _oracle.tank_step((0.53, 0.3, 0.1, 0.35))
+    nlift = a0.shape[0]
+    n, m = 2, 1
+    cy = np.array([[0.0, 1.0]])
+
+    a, b, c = a0.copy(), b0.copy(), c0.copy()
+    x = np.zeros(2)
+    u0 = np.zeros(1)
+    k_a = np.zeros((nlift, nlift + m))
+    inv_g = rls_init * np.eye(nlift + m)
+    bar_x = np.zeros((n, nlift))
+    bar_q = rls_init * np.eye(nlift)
+    log_x, log_u = [], []
+    qbar = q_weight * np.eye(horizon)
+    rbar = r_weight * np.eye(horizon)
+    yr = np.ones(horizon)
+    plant = nominal
+
+    for i in range(steps):
+        # Δu augmentation of the CURRENT model (Tank_System.m:265-268)
+        a_aug = np.block([[a, b], [np.zeros((m, nlift)), np.eye(m)]])
+        b_aug = np.vstack([b, np.eye(m)])
+        c_aug = np.hstack([c, np.zeros((n, m))])
+        z = lift_fn(x)
+        zq = np.concatenate([z, u0])
+        f1, f2 = _oracle.prediction_matrices_loop(a_aug, b_aug, c_aug, cy, horizon)
+        p_qp, q_qp = _oracle.condensed_cost(f1, f2, qbar, rbar, zq, yr)
+        # rows: Δu boxes + input magnitude on the first move
+        a_rows = np.vstack([np.eye(horizon), np.eye(1, horizon)])
+        lo = np.concatenate([-du_bound * np.ones(horizon), [u_bounds[0] - u0[0]]])
+        hi = np.concatenate([du_bound * np.ones(horizon), [u_bounds[1] - u0[0]]])
+        du = _oracle.solve_qp_scipy(p_qp, q_qp, a_rows, lo, hi)[:m]
+        u0 = np.clip(u0 + du, *u_bounds)
+        if i > switch_step:
+            plant = switched
+        x_next = plant(x, u0)
+        log_x.append(x.copy())
+        log_u.append(u0.copy())
+        if update:
+            z_next = lift_fn(x_next)
+            k_a, inv_g = _oracle.rls_ab_step(k_a, inv_g, z, u0, z_next)
+            bar_x, bar_q = _oracle.rls_c_step(bar_x, bar_q, z, x)  # 'same'
+            k_ext = k_a @ inv_g
+            a = k_ext[:, :nlift]
+            b = k_ext[:, nlift:]
+            c = bar_x @ bar_q
+        x = x_next
+    return np.stack(log_x), np.stack(log_u)

@@ -188,3 +188,79 @@ def test_vdp_closed_loop_parity_with_live_switch(vdp_setup):
         f"max VDP traj deviation {err}; ours tail {x_ours[-3:,0]}, "
         f"oracle tail {log_x_o[-3:,0]}"
     )
+
+
+def test_tank_delta_u_parity():
+    """Gate 5c: the Tank Δu formulation — augmentation, exact-QP input
+    constraints, scratch RLS with 'same' pairing, per-step rebuild — engine
+    vs a NumPy oracle implementing Tank_System.m's loop on IDENTICAL data
+    (MATLAB's rng(55) streams are not replicable in NumPy, so parity is
+    engine-vs-oracle, not vs MATLAB runs)."""
+    from koopmanx.engine.loop import EngineConfig, MPCParams, make_closed_loop
+    from koopmanx.lifts import rbf_dictionary
+    from koopmanx.systems import TANK, collect
+
+    # shared data + dictionary
+    data = collect(
+        TANK,
+        jax.random.PRNGKey(5),
+        n_step=40,
+        n_traj=40,
+        u_range=(-5.0, 5.0),
+        clamp_x0=True,
+        dtype=jnp.float64,
+    )
+    centers = jax.random.uniform(jax.random.PRNGKey(6), (10, 2), dtype=jnp.float64)
+    d = rbf_dictionary(centers, "thinplate")
+    model0 = edmd_fit(d, data, method="pinv")
+    a0, b0, c0 = (np.asarray(model0.A), np.asarray(model0.B), np.asarray(model0.C))
+
+    def lift_np(x):
+        return np.asarray(d(jnp.asarray(x, dtype=jnp.float64)))
+
+    steps = 50
+    log_x_o, log_u_o = parity.tank_closed_loop_oracle(
+        lift_np, a0, b0, c0, steps=steps, switch_step=10**9
+    )
+
+    cfg = EngineConfig(
+        horizon=20,
+        steps=steps,
+        delta_u=True,
+        update="rls",
+        c_pairing="same",
+        symmetrize=False,
+        switch_step=10**9,
+        qp_iters=300,
+        qp_rho=0.1,
+    )
+    ref_fn = refgen.constant(
+        jnp.array([1.0], dtype=jnp.float64), 20, 1, jnp.float64
+    )
+    loop = make_closed_loop(TANK, d, cfg, ref_fn)
+    params = MPCParams(
+        q_block=10.0 * jnp.eye(1, dtype=jnp.float64),
+        r_block=1e-3 * jnp.eye(1, dtype=jnp.float64),
+        u_min=jnp.array([-0.5], dtype=jnp.float64),
+        u_max=jnp.array([0.5], dtype=jnp.float64),
+        cy=jnp.array([[0.0, 1.0]], dtype=jnp.float64),
+        applied_min=jnp.array([-8.0], dtype=jnp.float64),
+        applied_max=jnp.array([8.0], dtype=jnp.float64),
+    )
+    from koopmanx.edmd.rls import rls_init as rls_init_fn
+
+    rls0 = rls_init_fn(10, 1, 2, c_ab=1e4, c_c=1e4, dtype=jnp.float64)
+    _, log = jax.jit(loop)(
+        params, jnp.zeros(2, dtype=jnp.float64), model0, rls0
+    )
+    x_ours = np.asarray(log.x)
+    dev = np.abs(x_ours - log_x_o).max(axis=1)
+    # scratch-RLS warm-up (steps ~5-30) is transiently solver-path
+    # sensitive (both models are still garbage; ADMM vs exact-QP
+    # differences amplify through the plant) but the loops re-converge:
+    # observed profile peaks ~0.55 around step 20 and decays to ~0.01
+    assert dev.max() < 0.8, dev.max()
+    assert dev[-10:].max() < 0.05, dev[-10:]
+    # both settle at r=1 on the tracked level
+    assert abs(x_ours[-10:, 1].mean() - 1.0) < 0.05
+    assert abs(log_x_o[-10:, 1].mean() - 1.0) < 0.05
