@@ -180,16 +180,16 @@ def markov_doubling(a: Array, b: Array, cy_c: Array, horizon: int):
     """
     nz = a.shape[-1]
     dtype = a.dtype
-    # power stack [A^1] -> [A^1..A^2] -> ... -> [A^1..A^N']
+    # power stack [A^1] -> [A^1..A^2] -> ... (doubling) -> [A^1..A^N]
     powers = a[None]  # (1, nz, nz)
-    while powers.shape[0] < horizon + 1:
+    while powers.shape[0] < horizon:
         top = powers[-1]  # A^(len)
         powers = jnp.concatenate([powers, powers @ top], axis=0)
-    powers = powers[: horizon + 1]  # A^1..A^(N+1) — need up to A^N for rows
+    powers = powers[:horizon]  # A^1..A^N
     eye = jnp.eye(nz, dtype=dtype)
     pow0 = jnp.concatenate([eye[None], powers[:-1]], axis=0)  # A^0..A^(N-1)
 
     cyc_pows = jnp.einsum("pn,jnk->jpk", cy_c, pow0)  # (N, py, nz) CyC A^j
     markov = cyc_pows @ b  # (N, py, m)
-    rows = jnp.einsum("pn,jnk->jpk", cy_c, powers[:horizon])  # CyC A^{j+1}
+    rows = jnp.einsum("pn,jnk->jpk", cy_c, powers)  # (N, py, nz) CyC A^{j+1}
     return rows, markov

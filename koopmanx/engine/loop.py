@@ -131,7 +131,6 @@ class LoopCarry(NamedTuple):
     x: Array  # plant state (n,)
     u_applied: Array  # last applied input / U0 accumulator (m,)
     model: LinearModel
-    model_prev: LinearModel
     rls: Any  # RLSState | StorageState | None-like zeros
     warm_x: Array  # QP primal warm start (N*m,)
     warm_y: Array  # QP dual warm start (nc,)
@@ -435,7 +434,6 @@ def make_closed_loop(
             x=x_next,
             u_applied=u_applied,
             model=new_model,
-            model_prev=model,
             rls=rls,
             warm_x=warm_x,
             warm_y=sol.y,
@@ -461,6 +459,8 @@ def make_closed_loop(
         theta0=None,
         theta1=None,
         u0: Optional[Array] = None,
+        carry0: Optional[LoopCarry] = None,
+        step_offset: int = 0,
     ) -> Tuple[LoopCarry, StepLog]:
         th0 = system.theta0 if theta0 is None else theta0
         th1 = system.theta1 if theta1 is None else theta1
@@ -475,20 +475,22 @@ def make_closed_loop(
             nc += m
         if cfg.state_bounds and params.x_min is not None:
             nc += params.x_min.shape[0]
-        carry0 = LoopCarry(
-            x=x0,
-            u_applied=jnp.zeros((m,), dtype) if u0 is None else u0,
-            model=model0,
-            model_prev=model0,
-            rls=rls0,
-            warm_x=jnp.zeros((n_dec,), dtype),
-            warm_y=jnp.zeros((nc,), dtype),
-        )
+        if carry0 is None:
+            carry0 = LoopCarry(
+                x=x0,
+                u_applied=jnp.zeros((m,), dtype) if u0 is None else u0,
+                model=model0,
+                rls=rls0,
+                warm_x=jnp.zeros((n_dec,), dtype),
+                warm_y=jnp.zeros((nc,), dtype),
+            )
 
         def body(carry, step):
             return one_step(params, carry, step, theta_sched)
 
-        return jax.lax.scan(body, carry0, jnp.arange(cfg.steps))
+        return jax.lax.scan(
+            body, carry0, step_offset + jnp.arange(cfg.steps)
+        )
 
     return closed_loop
 

@@ -310,3 +310,68 @@ def run_scenarios(pipe: Pipeline, batch):
         batch.theta0,
         batch.theta1,
     )
+
+
+def run_resumable(
+    pipe: Pipeline,
+    total_steps: int,
+    chunk_steps: int,
+    checkpoint_path=None,
+    resume: bool = False,
+):
+    """Run a long closed loop in checkpointable chunks.
+
+    The single-scan loop (:func:`run_single`) is one device program — fine
+    up to ~10^4 steps, but unrecoverable if interrupted. This runner scans
+    ``chunk_steps`` at a time, carrying the loop state across chunks and
+    (optionally) persisting it to ``checkpoint_path`` after each — crash
+    or preemption resumes from the last finished chunk (``resume=True``).
+    Returns (final_carry, logs concatenated over the executed chunks).
+    """
+    import os
+
+    import numpy as np
+
+    from .engine.loop import make_closed_loop
+    from .eval.persist import load_pytree, save_pytree
+
+    cfg = dataclasses.replace(pipe.engine_cfg, steps=chunk_steps)
+    ref_fn = _ref_fn(
+        pipe.config, pipe.dictionary, pipe.params.q_block.shape[0], _dtype(pipe.config)
+    )
+    system = get_system(pipe.config.system)
+    loop = jax.jit(
+        make_closed_loop(system, pipe.dictionary, cfg, ref_fn),
+        static_argnames=("step_offset",),
+    )
+
+    carry = None
+    start = 0
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        # build a template carry by tracing zero steps worth of state
+        template, _ = loop(
+            pipe.params, pipe.x_init, pipe.model0, pipe.rls0, None, None,
+            None, None, 0,
+        )
+        carry, start = load_pytree(checkpoint_path, template)
+
+    logs = []
+    for offset in range(start, total_steps, chunk_steps):
+        carry, log = loop(
+            pipe.params,
+            pipe.x_init,
+            pipe.model0,
+            pipe.rls0,
+            None,
+            None,
+            None,
+            carry,
+            offset,
+        )
+        logs.append(jax.tree_util.tree_map(np.asarray, log))
+        if checkpoint_path:
+            save_pytree(checkpoint_path, carry, meta=offset + chunk_steps)
+    full = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate(xs, axis=0), *logs
+    )
+    return carry, full
