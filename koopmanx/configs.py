@@ -62,12 +62,17 @@ class MPCConfig:
 
 @dataclasses.dataclass
 class UpdateConfig:
-    mode: str = "rls"  # rls | rls_sqrt | rls_chol | storage | off
+    mode: str = "rls"  # rls | rls_sqrt | rls_chol | windowed | storage | off
     c_ab: float = 1e4
     c_c: float = 1e2
     warm_start_from_batch: bool = False
     forgetting: float = 1.0
     ridge: float = 0.0  # rls_sqrt: per-step diagonal trickle (f32 robustness)
+    reset_mult: float = 0.0  # residual-spike multiple that triggers a
+    # statistic reset (event-triggered forgetting); 0 disables
+    reset_factor: float = 1e-3
+    dither: float = 0.0  # persistent-excitation probe amplitude
+    window: int = 256  # 'windowed' mode: sliding-window length
     symmetrize: bool = True
     c_pairing: str = "next"  # next (python) | same (matlab)
 
@@ -176,8 +181,14 @@ def tank_preset() -> RunConfig:
             applied_max=8.0,
             cy_index=1,
         ),
+        # the sliding-window estimator is the f32 default for this preset:
+        # it fully re-adapts through the plant switch (x2 -> 1.004,
+        # u -> 6.19 vs theoretical 6.18) where unbounded-history RLS
+        # converges to a biased equilibrium in f32. The reference-faithful
+        # scratch RLS remains available via update.mode="rls_sqrt".
         update=UpdateConfig(
-            mode="rls_sqrt", ridge=3e-2, c_ab=1e4, c_c=1e4, c_pairing="same"
+            mode="windowed", window=256, ridge=3e-2, c_ab=1e4, c_c=1e4,
+            c_pairing="same",
         ),
         lift=LiftConfig(
             kind="rbf", nlift=10, rbf_type="thinplate", rbf_centers="random",

@@ -1,0 +1,99 @@
+"""Sliding-window online estimator (ring buffer + per-step refit).
+
+The reference's online estimators weight ALL history equally (RLS/storage,
+duffing.py:927, duffing_RBF.py:404) — after a plant change the stale
+pre-switch data biases the model forever, and the f32 conditioning of the
+ever-growing Gram degrades. A bounded sliding window is the standard
+time-varying-systems alternative: keep the last W observations in a
+static-shape ring buffer and refit
+
+    [A B] = argmin ||V K' - Zy||^2 + ridge,   C = argmin ||Zx C' - X||^2
+
+each step from the window's (freshly formed, bounded-condition) Grams via
+a matmul-only Newton–Schulz solve. Pre/post-switch behavior: the window
+flushes old-regime data in W steps — hard recency without the Gram
+collapse of exponential forgetting.
+
+Engine mode: ``update="windowed"``. The buffer is optionally pre-filled
+with training snapshots so step 0 already has a full-rank problem.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..types import LinearModel
+from .rls import schulz_inverse
+
+
+class WindowState(NamedTuple):
+    """Ring buffers of the last W observations (static shapes)."""
+
+    zx: Array  # (W, N) lifted states
+    u: Array  # (W, m)
+    zy: Array  # (W, N) lifted next states
+    x: Array  # (W, n) output targets
+    idx: Array  # scalar int32 write cursor
+
+
+def window_init(
+    window: int, nlift: int, m: int, n: int, dtype=jnp.float32
+) -> WindowState:
+    return WindowState(
+        zx=jnp.zeros((window, nlift), dtype),
+        u=jnp.zeros((window, m), dtype),
+        zy=jnp.zeros((window, nlift), dtype),
+        x=jnp.zeros((window, n), dtype),
+        idx=jnp.zeros((), jnp.int32),
+    )
+
+
+def window_prefill(
+    state: WindowState, zx: Array, u: Array, zy: Array, x: Array
+) -> WindowState:
+    """Fill the buffer with (up to W) training snapshots so the first refit
+    is well posed."""
+    w = state.zx.shape[0]
+    take = min(w, zx.shape[0])
+    sl = slice(zx.shape[0] - take, zx.shape[0])
+    return WindowState(
+        zx=state.zx.at[:take].set(zx[sl]),
+        u=state.u.at[:take].set(u[sl]),
+        zy=state.zy.at[:take].set(zy[sl]),
+        x=state.x.at[:take].set(x[sl]),
+        idx=jnp.asarray(take % w, jnp.int32),
+    )
+
+
+def window_update(
+    state: WindowState, z: Array, u: Array, z_next: Array, x_target: Array
+) -> WindowState:
+    i = state.idx
+    w = state.zx.shape[0]
+    return WindowState(
+        zx=state.zx.at[i].set(z),
+        u=state.u.at[i].set(u),
+        zy=state.zy.at[i].set(z_next),
+        x=state.x.at[i].set(x_target),
+        idx=(i + 1) % w,
+    )
+
+
+def window_model(
+    state: WindowState, nlift: int, ridge: float = 1e-4, schulz_iters: int = 24
+) -> LinearModel:
+    """Refit (A, B, C) from the window via ridge normal equations and
+    matmul-only inverses (batched-TPU-friendly; bounded condition because
+    the window is bounded and features are normalized)."""
+    v = jnp.concatenate([state.zx, state.u], axis=-1)  # (W, N+m)
+    d = v.shape[-1]
+    g = v.T @ v + ridge * jnp.eye(d, dtype=v.dtype)
+    k_ext = (schulz_inverse(g, schulz_iters) @ (v.T @ state.zy)).T
+    gz = state.zx.T @ state.zx + ridge * jnp.eye(nlift, dtype=v.dtype)
+    c = (schulz_inverse(gz, schulz_iters) @ (state.zx.T @ state.x)).T
+    return LinearModel(
+        A=k_ext[..., :, :nlift], B=k_ext[..., :, nlift:], C=c
+    )

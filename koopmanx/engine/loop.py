@@ -35,6 +35,7 @@ from ..control.condensed import (
 from ..control.qp import ADMMConfig, solve_qp
 from ..control.lmi import solve_terminal_lmi
 from ..control.terminal import synthesize_terminal
+from ..edmd.windowed import window_model, window_update
 from ..edmd.rls import (
     RLSState,
     StorageState,
@@ -96,6 +97,23 @@ class EngineConfig:
     # online-updated model's changing (H, A, l, u) destabilizes a
     # fixed-iteration ADMM (observed on the Tank Δu loop).
     qp_warm_start: str = "primal"
+    # Change detection / re-adaptation: when the one-step lifted residual
+    # spikes above reset_mult x its running average (EMA), the plant has
+    # changed — scale the RLS sufficient statistics by reset_factor
+    # (K_A <- a K_A, G <- a G leaves the current model UNCHANGED but makes
+    # new observations dominate, i.e. event-triggered forgetting). Unlike a
+    # blanket forgetting factor this cannot collapse the Gram during quiet
+    # periods (observed failure: lam=0.99 drains the Tank loop). 0 disables.
+    reset_mult: float = 0.0
+    reset_factor: float = 1e-3
+    residual_ema: float = 0.98
+    # Persistent excitation: a small deterministic multi-sine probe added
+    # to the applied input (within bounds). Closed-loop data alone is not
+    # persistently exciting — after a plant change (or from an absorbing
+    # state like the drained tank) the scratch estimator can identify a
+    # degenerate model and never recover; a probing signal restores
+    # identifiability. 0 disables (parity modes).
+    dither: float = 0.0
     # Failure detection (SURVEY §5), two layers:
     # (1) f_clamp saturates prediction-matrix entries so an unstable model
     #     estimate raised to the horizon-th power cannot overflow f32 and
@@ -134,6 +152,7 @@ class LoopCarry(NamedTuple):
     rls: Any  # RLSState | StorageState | None-like zeros
     warm_x: Array  # QP primal warm start (N*m,)
     warm_y: Array  # QP dual warm start (nc,)
+    res_ema: Array  # running residual average (change detection)
 
 
 class StepLog(NamedTuple):
@@ -315,6 +334,14 @@ def make_closed_loop(
             params.u_max,
         )
 
+        if cfg.dither > 0.0:
+            t_f = step.astype(z.dtype)
+            probe = cfg.dither * (
+                jnp.sin(0.37 * t_f) + 0.5 * jnp.sin(1.13 * t_f + 1.0)
+            )
+            first_move = jnp.clip(
+                first_move + probe, params.u_min, params.u_max
+            )
         if cfg.delta_u:
             u_applied = u_prev + first_move  # U0 += ΔU (Tank_System.m:192)
             if params.applied_min is not None:
@@ -370,6 +397,12 @@ def make_closed_loop(
                 rls, z, c_target, lam=cfg.rls_lambda, ridge=cfg.rls_ridge
             )
             new_model = sqrt_rls_model(rls, dictionary.nlift)
+        elif cfg.update == "windowed":
+            c_target = x_next if cfg.c_pairing == "next" else x
+            rls = window_update(carry.rls, z, u_applied, z_next, c_target)
+            new_model = window_model(
+                rls, dictionary.nlift, ridge=max(cfg.rls_ridge, 1e-5)
+            )
         elif cfg.update == "storage":
             c_target = x_next if cfg.c_pairing == "next" else x
             rls = storage_update(carry.rls, z, u_applied, z_next, c_target)
@@ -410,8 +443,35 @@ def make_closed_loop(
                 carry.rls,
             )
 
-        # ---- metrics ----
+        # ---- change detection: event-triggered statistic reset ----
         residual = jnp.linalg.norm(z_next - (model.A @ z + model.B @ u_applied))
+        res_ema = carry.res_ema
+        if cfg.reset_mult > 0.0 and cfg.update in ("rls_sqrt", "rls_chol"):
+            warmed = res_ema > 0
+            trigger = warmed & (residual > cfg.reset_mult * res_ema)
+            alpha = jnp.where(trigger, cfg.reset_factor, 1.0).astype(z.dtype)
+            if cfg.update == "rls_sqrt":
+                rls = rls._replace(
+                    K_A=rls.K_A * alpha,
+                    r_g=rls.r_g * jnp.sqrt(alpha),
+                    barX=rls.barX * alpha,
+                    r_q=rls.r_q * jnp.sqrt(alpha),
+                )
+            else:  # rls_chol (Gram carry)
+                rls = rls._replace(
+                    K_A=rls.K_A * alpha,
+                    g=rls.g * alpha,
+                    barX=rls.barX * alpha,
+                    q=rls.q * alpha,
+                )
+            res_ema = jnp.where(
+                trigger,
+                res_ema,  # don't poison the baseline with the spike
+                cfg.residual_ema * res_ema
+                + (1.0 - cfg.residual_ema) * residual,
+            )
+            res_ema = jnp.where(warmed, res_ema, residual)
+        
         drift_a = _matnorm(new_model.A - model.A, cfg.drift_norm)
         drift_b = _matnorm(new_model.B - model.B, cfg.drift_norm)
         drift_c = _matnorm(new_model.C - model.C, cfg.drift_norm)
@@ -437,6 +497,7 @@ def make_closed_loop(
             rls=rls,
             warm_x=warm_x,
             warm_y=sol.y,
+            res_ema=res_ema,
         )
         log = StepLog(
             x=x,
@@ -483,6 +544,7 @@ def make_closed_loop(
                 rls=rls0,
                 warm_x=jnp.zeros((n_dec,), dtype),
                 warm_y=jnp.zeros((nc,), dtype),
+                res_ema=jnp.zeros((), dtype),
             )
 
         def body(carry, step):

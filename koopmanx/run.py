@@ -222,7 +222,15 @@ def build_pipeline(cfg: C.RunConfig, x_init=None) -> Pipeline:
     model0 = edmd_fit(dictionary, data, method="pinv")
 
     uc = cfg.update
-    if uc.mode == "storage" or uc.warm_start_from_batch:
+    if uc.mode == "windowed":
+        from .edmd.windowed import window_init, window_prefill
+
+        zx, zy = lift_snapshots(dictionary, data)
+        rls0 = window_init(
+            uc.window, dictionary.nlift, system.m, system.n, dtype
+        )
+        rls0 = window_prefill(rls0, zx, data.u, zy, data.x)
+    elif uc.mode == "storage" or uc.warm_start_from_batch:
         zx, zy = lift_snapshots(dictionary, data)
         stats = gram_stats(zx, zy, data.u, data.x)
         if uc.mode == "storage":
@@ -261,6 +269,9 @@ def build_pipeline(cfg: C.RunConfig, x_init=None) -> Pipeline:
         c_pairing=uc.c_pairing,
         rls_lambda=uc.forgetting,
         rls_ridge=uc.ridge,
+        reset_mult=uc.reset_mult,
+        reset_factor=uc.reset_factor,
+        dither=uc.dither,
         symmetrize=uc.symmetrize,
         switch_step=cfg.switch_step,
         qp_iters=cfg.mpc.qp_iters,

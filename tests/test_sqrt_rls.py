@@ -84,3 +84,48 @@ def test_rls_chol_mode_tracks():
     x1 = np.asarray(log.x[:, 0], dtype=np.float64)
     assert np.isfinite(x1).all()
     assert abs(x1[-20:].mean() - 1.0) < 0.1
+
+
+def test_windowed_estimator_readapts_through_switch_f32():
+    """The sliding-window estimator (ring buffer + per-step Schulz refit)
+    fully re-adapts the f32 Tank loop through the plant switch — the
+    scenario where unbounded-history RLS converges to a biased equilibrium."""
+    cfg = C.tank_preset()
+    cfg.steps = 700
+    cfg.dtype = "float32"
+    cfg.data = C.DataConfig(n_step=40, n_traj=40, u_range=(-5.0, 5.0), clamp_x0=True)
+    cfg.update.mode = "windowed"
+    cfg.update.window = 256
+    pipe = build_pipeline(cfg)
+    _, log = run_single(pipe)
+    x2 = np.asarray(log.x[:, 1], dtype=np.float64)
+    assert np.isfinite(np.asarray(log.x)).all()
+    assert abs(x2[-60:].mean() - 1.0) < 0.1, x2[-10:]
+
+
+def test_windowed_unit_semantics():
+    """Ring-buffer mechanics + refit equals a direct lstsq on the window."""
+    import jax
+
+    from koopmanx.edmd.windowed import (
+        window_init,
+        window_model,
+        window_update,
+    )
+
+    rng = np.random.RandomState(0)
+    w, nlift, m, n = 16, 3, 1, 2
+    st = window_init(w, nlift, m, n, jnp.float64)
+    obs = []
+    for i in range(20):  # wraps past W
+        z, u, zn, xt = rng.randn(nlift), rng.randn(m), rng.randn(nlift), rng.randn(n)
+        st = window_update(st, jnp.asarray(z), jnp.asarray(u), jnp.asarray(zn), jnp.asarray(xt))
+        obs.append((z, u, zn, xt))
+    last = obs[-w:]
+    v = np.array([np.concatenate([z, u]) for z, u, _, _ in last])
+    zy = np.array([zn for _, _, zn, _ in last])
+    ridge = 1e-6
+    k_ref = np.linalg.solve(v.T @ v + ridge * np.eye(nlift + m), v.T @ zy).T
+    model = window_model(st, nlift, ridge=ridge)
+    np.testing.assert_allclose(np.asarray(model.A), k_ref[:, :nlift], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(model.B), k_ref[:, nlift:], atol=1e-6)
