@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
+from ..ops.linalg import spd_inverse
 from ..types import QPData, QPSolution
 
 
@@ -70,7 +71,7 @@ def solve_qp(
     rho = _effective_rho(qp.P, cfg)
     sigma, alpha = cfg.sigma, cfg.alpha
     kkt = qp.P + sigma * jnp.eye(nx, dtype=dtype) + rho * qp.A.T @ qp.A
-    kkt_inv = jnp.linalg.inv(kkt)
+    kkt_inv = spd_inverse(kkt)
 
     def body(carry, _):
         x, z, y = carry
@@ -128,9 +129,7 @@ def solve_box_qp(
 
     rho = _effective_rho(p, cfg)
     sigma, alpha = cfg.sigma, cfg.alpha
-    kkt_inv = jnp.linalg.inv(
-        p + (sigma + rho) * jnp.eye(nx, dtype=dtype)
-    )
+    kkt_inv = spd_inverse(p + (sigma + rho) * jnp.eye(nx, dtype=dtype))
 
     def body(carry, _):
         x, z, y = carry
