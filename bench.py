@@ -42,6 +42,7 @@ def main():
     cfg = C.duffing_nn_preset()
     cfg.steps = steps
     cfg.dtype = "float32"
+    cfg.unroll = int(os.environ.get("BENCH_UNROLL", "4"))
     cfg.mpc.horizon = horizon
     cfg.switch_step = steps // 2  # live time-varying parameters mid-run
     cfg.data = C.DataConfig(n_step=50, n_traj=50)

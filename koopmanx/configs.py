@@ -87,6 +87,7 @@ class RunConfig:
     integrator: str = "rk4"
     dtype: str = "float32"
     seed: int = 101
+    unroll: int = 1  # time-scan unroll factor (perf knob, semantics-neutral)
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     lift: LiftConfig = dataclasses.field(default_factory=LiftConfig)
     mpc: MPCConfig = dataclasses.field(default_factory=MPCConfig)

@@ -134,6 +134,9 @@ class EngineConfig:
     terminal_mode: str = "dare"  # 'dare' (production) | 'lmi' (Revise_2 parity)
     state_bounds: bool = False  # enable Revise_2 state-box rows
     drift_norm: str = "fro"  # 'fro' | 'spectral'
+    # lax.scan unroll factor for the time loop: >1 amortizes while-loop
+    # carry copies over multiple steps at the cost of compile time.
+    unroll: int = 1
 
     @property
     def qp_config(self) -> ADMMConfig:
@@ -165,6 +168,24 @@ class StepLog(NamedTuple):
     residual: Array
     qp_primal_res: Array
     lyapunov: Array
+
+
+def _tree_finite(tree) -> Array:
+    """All-leaves-finite as ONE scalar: isfinite(sum of |leaf| sums).
+
+    NaN/Inf anywhere propagates through the sum (|.| prevents +inf/-inf
+    cancelling into a spuriously-finite value... it cannot anyway — they sum
+    to NaN — but abs also prevents large finite values cancelling below the
+    overflow threshold). Equivalent failure detection to per-leaf
+    ``all(isfinite(...))`` at a fraction of the cost: the per-leaf stacked
+    reductions were 4 separate fusions ~0.28 ms/step at batch 2048; the
+    add-tree of sums fuses into the surrounding computation.
+    """
+    total = None
+    for leaf in jax.tree_util.tree_leaves(tree):
+        s = jnp.sum(jnp.abs(leaf.astype(jnp.float32)))
+        total = s if total is None else total + s
+    return jnp.isfinite(total)
 
 
 def _matnorm(d: Array, kind: str) -> Array:
@@ -413,12 +434,7 @@ def make_closed_loop(
 
         # ---- model guard (failure detection) ----
         if cfg.model_guard > 0.0 and cfg.update != "off":
-            finite = jnp.stack(
-                [
-                    jnp.all(jnp.isfinite(l.astype(jnp.float32)))
-                    for l in jax.tree_util.tree_leaves(new_model)
-                ]
-            ).all()
+            finite = _tree_finite(new_model)
             radius = _spectral_radius_estimate(new_model.A)
             sane = finite & (radius < cfg.model_guard)
             new_model = jax.tree_util.tree_map(
@@ -429,12 +445,7 @@ def make_closed_loop(
                 model,
             )
             # estimator state must never absorb non-finite carries
-            rls_finite = jnp.stack(
-                [
-                    jnp.all(jnp.isfinite(l.astype(jnp.float32)))
-                    for l in jax.tree_util.tree_leaves(rls)
-                ]
-            ).all()
+            rls_finite = _tree_finite(rls)
             rls = jax.tree_util.tree_map(
                 lambda a, b: jax.lax.select(
                     jnp.broadcast_to(rls_finite, a.shape), a, b
@@ -551,7 +562,8 @@ def make_closed_loop(
             return one_step(params, carry, step, theta_sched)
 
         return jax.lax.scan(
-            body, carry0, step_offset + jnp.arange(cfg.steps)
+            body, carry0, step_offset + jnp.arange(cfg.steps),
+            unroll=cfg.unroll,
         )
 
     return closed_loop

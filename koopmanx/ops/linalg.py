@@ -41,10 +41,14 @@ def spd_inverse(k: Array, eps: float = 0.0) -> Array:
     eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype), k.shape)
     aug = jnp.concatenate([k, eye], axis=-1)  # (..., n, 2n)
     for j in range(n):
-        piv = aug[..., j, :] / aug[..., j, j : j + 1]  # (..., 2n)
-        factor = aug[..., :, j].at[..., j].set(0.0)  # (..., n)
+        d = aug[..., j, j : j + 1]  # (..., 1)
+        piv = aug[..., j, :] / d  # (..., 2n)
+        # One rank-1 update does both the elimination AND the pivot-row
+        # normalization: with factor_j = d - 1 (instead of 0), row j becomes
+        # d*piv - (d-1)*piv = piv. Avoids a (..., n, 2n) dynamic-update-slice
+        # per column (20 of them cost ~0.2 ms/step at batch 2048).
+        factor = aug[..., :, j].at[..., j].set(d[..., 0] - 1.0)  # (..., n)
         aug = aug - factor[..., :, None] * piv[..., None, :]
-        aug = aug.at[..., j, :].set(piv)
     inv = aug[..., :, n:]
     # symmetrize: elimination rounding breaks exact symmetry; the callers
     # (ADMM KKT, Gram inverses) rely on symmetric inverses

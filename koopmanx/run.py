@@ -279,6 +279,7 @@ def build_pipeline(cfg: C.RunConfig, x_init=None) -> Pipeline:
         terminal_synthesis=cfg.mpc.terminal_synthesis,
         terminal_mode=cfg.mpc.terminal_mode,
         state_bounds=cfg.mpc.state_bounds is not None,
+        unroll=cfg.unroll,
     )
     closed_loop = make_closed_loop(system, dictionary, engine_cfg, ref_fn)
     if x_init is None:
