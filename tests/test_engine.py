@@ -238,3 +238,16 @@ def test_resumable_chunks_match_single_scan(tmp_path):
     np.testing.assert_allclose(
         log_resumed.x, np.asarray(log_full.x)[40:], rtol=1e-9
     )
+
+
+def test_unroll_is_semantics_neutral():
+    """cfg.unroll only changes lax.scan codegen; trajectories must match
+    the unroll=1 run exactly (same dtype, same op order within a step)."""
+    cfg1 = small_duffing_cfg(steps=40, unroll=1)
+    cfg3 = small_duffing_cfg(steps=40, unroll=3)  # non-divisor of steps
+    p1 = build_pipeline(cfg1)
+    p3 = build_pipeline(cfg3)
+    _, log1 = run_single(p1)
+    _, log3 = run_single(p3)
+    np.testing.assert_array_equal(np.asarray(log1.x), np.asarray(log3.x))
+    np.testing.assert_array_equal(np.asarray(log1.u), np.asarray(log3.u))
