@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
+from ..ops.linalg import gj_solve, spd_inverse
+
 
 def solve_dare_iter(
     a: Array, b: Array, q: Array, r: Array, iters: int = 500
@@ -46,14 +48,14 @@ def solve_dare_doubling(
     small matmuls (MXU-friendly, vmappable over scenario batches).
     """
     r = jnp.atleast_2d(jnp.asarray(r, dtype=a.dtype))
-    g0 = b @ jnp.linalg.solve(r, b.T)
+    g0 = b @ (spd_inverse(r) @ b.T)
     eye = jnp.eye(a.shape[-1], dtype=a.dtype)
 
     def body(carry, _):
         ak, gk, hk = carry
-        w = jnp.linalg.solve(eye + gk @ hk, ak)  # (I + G H)^-1 A
+        w = gj_solve(eye + gk @ hk, ak)  # (I + G H)^-1 A
         a_next = ak @ w
-        g_next = gk + ak @ gk @ jnp.linalg.solve(eye + hk @ gk, ak.T)
+        g_next = gk + ak @ gk @ gj_solve(eye + hk @ gk, ak.T)
         h_next = hk + w.T @ hk @ ak
         return (a_next, g_next, h_next), None
 
@@ -66,7 +68,9 @@ def dlqr_gain(a: Array, b: Array, q: Array, r: Array, p: Array) -> Array:
     (duffing.py:601-613); control law ``u = -K x``."""
     r = jnp.atleast_2d(jnp.asarray(r, dtype=a.dtype))
     btp = b.T @ p
-    return jnp.linalg.pinv(r + btp @ b) @ (btp @ a)
+    # r + B'PB is SPD (r PD, P PSD): spd_inverse == pinv here and avoids
+    # the TPU SVD custom call on the per-step terminal-synthesis path
+    return spd_inverse(r + btp @ b) @ (btp @ a)
 
 
 def dlqr(a: Array, b: Array, q: Array, r: Array, method: str = "doubling"):

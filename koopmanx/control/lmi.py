@@ -41,6 +41,7 @@ import optax
 from jax import Array
 
 from ..types import LinearModel
+from ..ops.linalg import spd_inverse
 from .dare import dlqr_gain, solve_dare_doubling, solve_dlyap_doubling
 
 
@@ -153,11 +154,9 @@ def solve_terminal_lmi(
     p0 = solve_dare_doubling(a, b, q_lift, r_mat)
     k0 = -dlqr_gain(a, b, q_lift, r_mat, p0)  # u = K z convention (ref :361)
     gamma0 = jnp.maximum(psi @ p0 @ psi, 1.0) * 2.0
-    q1_0 = gamma0 * jnp.linalg.inv(
-        p0 + 1e-6 * jnp.eye(nlift, dtype=dtype)
-    )
+    q1_0 = gamma0 * spd_inverse(p0, eps=1e-6)
     y1_0 = k0 @ q1_0
-    x1_0 = jnp.diag(jnp.minimum(jnp.diag(y1_0 @ jnp.linalg.solve(q1_0, y1_0.T)) * 1.5 + 1e-3, u_max**2 * 0.9))
+    x1_0 = jnp.diag(jnp.minimum(jnp.diag(y1_0 @ (spd_inverse(q1_0) @ y1_0.T)) * 1.5 + 1e-3, u_max**2 * 0.9))
     # stable softplus^-1: y + log(1 - exp(-y)) (≈ y for large y)
     g0 = jnp.maximum(gamma0, 1e-3)
     g_raw0 = g0 + jnp.log1p(-jnp.exp(-g0))
@@ -194,7 +193,7 @@ def solve_terminal_lmi(
         jnp.maximum(-_min_eig(lmi0), -_min_eig(lmi2)),
         jnp.maximum(margin - _min_eig(lmi1), jnp.max(jax.nn.relu(-slack))),
     )
-    q1_inv = jnp.linalg.inv(q1 + 1e-9 * jnp.eye(q1.shape[-1], dtype=dtype))
+    q1_inv = spd_inverse(q1, eps=1e-9)
     k_out = y1 @ q1_inv
     p_out = gamma * q1_inv
     if lyapunov_correct:

@@ -31,6 +31,7 @@ import optax
 from jax import Array
 
 from ..lifts.mlp import MLPParams, mlp_apply
+from ..ops.linalg import spd_inverse
 from ..types import LinearModel
 
 
@@ -80,7 +81,9 @@ def differentiable_edmd(
         g = jax.lax.psum(g, axis_name)
         vty = jax.lax.psum(vty, axis_name)
     g = g + ridge * jnp.eye(d, dtype=v.dtype)
-    k = jnp.linalg.solve(g, vty).T  # (N, N+m)
+    # ridged Gram is SPD; spd_inverse avoids the TPU LU custom call and
+    # is differentiable (pure elementary ops) for the KMAE backward pass
+    k = (spd_inverse(g) @ vty).T  # (N, N+m)
     nlift = zx.shape[-1]
     return k[:, :nlift], k[:, nlift:]
 

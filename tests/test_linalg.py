@@ -49,3 +49,37 @@ def test_ridge():
     k = jnp.zeros((4, 4), jnp.float64)
     out = spd_inverse(k, eps=2.0)
     np.testing.assert_allclose(np.asarray(out), np.eye(4) / 2.0)
+
+
+def test_gj_inverse_general_matrices():
+    from koopmanx.ops.linalg import gj_inverse
+
+    key = jax.random.PRNGKey(3)
+    a = jax.random.normal(key, (8, 12, 12), jnp.float64)
+    got = gj_inverse(a)
+    want = jnp.linalg.inv(a)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-9, atol=1e-11)
+
+
+def test_gj_inverse_needs_pivoting():
+    """Zero leading pivot: pivot-free elimination would produce NaN."""
+    from koopmanx.ops.linalg import gj_inverse
+
+    a = jnp.array([[0.0, 1.0], [1.0, 0.0]], jnp.float64)
+    got = gj_inverse(a)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(a))  # own inverse
+
+
+def test_gj_solve_dare_operand_shape():
+    """(I + G H)^{-1} A — the doubling-DARE solve, batched."""
+    from koopmanx.ops.linalg import gj_solve
+
+    key = jax.random.PRNGKey(4)
+    b1 = jax.random.normal(key, (4, 8, 2), jnp.float64)
+    g = jnp.einsum("bij,bkj->bik", b1, b1)
+    h = _spd(jax.random.PRNGKey(5), 4, 8, 1e2, jnp.float64)
+    a = jax.random.normal(jax.random.PRNGKey(6), (4, 8, 8), jnp.float64)
+    m = jnp.eye(8) + g @ h
+    got = gj_solve(m, a)
+    want = jnp.linalg.solve(m, a)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-8, atol=1e-10)
