@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
+from ..ops.linalg import spd_inverse
 from ..types import LinearModel, RLSState
 from .batch import GramStats
 
@@ -363,18 +364,25 @@ def schulz_inverse(a: Array, iters: int = 24) -> Array:
 
 
 def gram_rls_model(
-    state: GramRLSState, nlift: int, ridge: float = 1e-6, schulz_iters: int = 24
+    state: GramRLSState, nlift: int, ridge: float = 1e-6, schulz_iters: int = 0
 ) -> LinearModel:
-    """K_ext = K_A (G + ridge I)^{-1}, C = barX (Q + ridge I)^{-1} via
-    Newton–Schulz inverses (matmul-only extraction)."""
-    dg = state.g.shape[-1]
-    dq = state.q.shape[-1]
-    g_inv = schulz_inverse(
-        state.g + ridge * jnp.eye(dg, dtype=state.g.dtype), schulz_iters
-    )
-    q_inv = schulz_inverse(
-        state.q + ridge * jnp.eye(dq, dtype=state.q.dtype), schulz_iters
-    )
+    """K_ext = K_A (G + ridge I)^{-1}, C = barX (Q + ridge I)^{-1} via the
+    exact pivot-free SPD inverse (ops/linalg.spd_inverse): d rank-1 VPU
+    updates beat the previous 24-iteration (~50 GEMM) Newton–Schulz
+    extraction in both cost and accuracy. ``schulz_iters`` is kept for API
+    compatibility; >0 selects the legacy iterative extraction."""
+    if schulz_iters:
+        g_inv = schulz_inverse(
+            state.g + ridge * jnp.eye(state.g.shape[-1], dtype=state.g.dtype),
+            schulz_iters,
+        )
+        q_inv = schulz_inverse(
+            state.q + ridge * jnp.eye(state.q.shape[-1], dtype=state.q.dtype),
+            schulz_iters,
+        )
+    else:
+        g_inv = spd_inverse(state.g, eps=ridge)
+        q_inv = spd_inverse(state.q, eps=ridge)
     k_ext = state.K_A @ g_inv
     c = state.barX @ q_inv
     return LinearModel(A=k_ext[..., :, :nlift], B=k_ext[..., :, nlift:], C=c)

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from ..types import LinearModel
+from ..ops.linalg import spd_inverse
 from .rls import schulz_inverse
 
 
@@ -91,9 +92,24 @@ def window_model(
     v = jnp.concatenate([state.zx, state.u], axis=-1)  # (W, N+m)
     d = v.shape[-1]
     g = v.T @ v + ridge * jnp.eye(d, dtype=v.dtype)
-    k_ext = (schulz_inverse(g, schulz_iters) @ (v.T @ state.zy)).T
     gz = state.zx.T @ state.zx + ridge * jnp.eye(nlift, dtype=v.dtype)
-    c = (schulz_inverse(gz, schulz_iters) @ (state.zx.T @ state.x)).T
+    # DEFAULT IS DELIBERATELY THE TRUNCATED SCHULZ ITERATION, NOT THE EXACT
+    # spd_inverse: at 24 iterations Schulz under-resolves the smallest Gram
+    # eigendirections, i.e. it is a spectral filter on top of the ridge.
+    # That filtering is load-bearing for f32 robustness — with the exact
+    # inverse the post-switch Tank window fits noise in the weak directions
+    # and the loop settles at x2~0.45 instead of 1.0 (observed 2026-08-18,
+    # tests/test_sqrt_rls.py::test_windowed_estimator_readapts...). Pass
+    # schulz_iters=0 for the exact (cheaper) extraction where the window is
+    # persistently excited.
+    if schulz_iters:
+        g_inv = schulz_inverse(g, schulz_iters)
+        gz_inv = schulz_inverse(gz, schulz_iters)
+    else:
+        g_inv = spd_inverse(g)
+        gz_inv = spd_inverse(gz)
+    k_ext = (g_inv @ (v.T @ state.zy)).T
+    c = (gz_inv @ (state.zx.T @ state.x)).T
     return LinearModel(
         A=k_ext[..., :, :nlift], B=k_ext[..., :, nlift:], C=c
     )
