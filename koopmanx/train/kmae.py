@@ -47,6 +47,13 @@ class KMAEConfig:
     epochs: int = 20
     rec_only_after_epoch: Optional[int] = 5  # DeepLearning...py:549-552
     ridge: float = 1e-8  # tiny Tikhonov for the differentiable lstsq
+    # Multi-step input accumulation. 'rollout' is the true linear rollout
+    # z_p = A^p z_0 + sum_s A^{p-s} B u_{s-1} (what the reference's
+    # INFERENCE-side loss report computes, duffing.py:201). 'legacy_train'
+    # reproduces the reference TRAINING loop's different exponent
+    # sum_s A^{s-1} B u_{s-1} (DeepLearning...py:525) — a reference quirk
+    # (the two only agree for p=1), kept for behavioral parity experiments.
+    lin_exponent: str = "rollout"
 
 
 class KMAEParams(NamedTuple):
@@ -106,18 +113,43 @@ def multi_step_loss(
     x_rec = mlp_apply(params.decoder, z_all[:, 0])  # reconstruct z_0
     l_rec = jnp.sum((x_rec - x_win[:, 0]) ** 2, axis=-1)  # (B,)
 
-    def body(z, inp):
-        u_s, z_true_s, x_true_s = inp
-        z_next = z @ a.T + u_s @ b.T
-        lin = jnp.sum((z_next - z_true_s) ** 2, axis=-1)
-        x_dec = mlp_apply(params.decoder, z_next)
-        pred = jnp.sum((x_dec - x_true_s) ** 2, axis=-1)
-        return z_next, (lin, pred)
-
     u_t = jnp.swapaxes(u_win, 0, 1)  # (H, B, m)
     z_t = jnp.swapaxes(z_all[:, 1:], 0, 1)  # (H, B, N)
     x_t = jnp.swapaxes(x_win[:, 1:], 0, 1)  # (H, B, n)
-    _, (lin, pred) = jax.lax.scan(body, z_all[:, 0], (u_t, z_t, x_t))
+
+    if cfg.lin_exponent == "legacy_train":
+        # reference training quirk (DeepLearning...py:520-538):
+        #   z_pred_p = A^p z_0 + sum_{s=1..p} A^{s-1} B u_{s-1}
+        # (input powers INCREASE with s instead of decaying with horizon
+        # distance). Carry (A^p z_0, A^{s-1} as a matrix, running input sum).
+        n_lift = a.shape[-1]
+        eye = jnp.eye(n_lift, dtype=a.dtype)
+
+        def body(carry, inp):
+            z0p, apow, acc = carry
+            u_s, z_true_s, x_true_s = inp
+            acc = acc + u_s @ (apow @ b).T
+            z0p = z0p @ a.T
+            z_pred = z0p + acc
+            lin = jnp.sum((z_pred - z_true_s) ** 2, axis=-1)
+            x_dec = mlp_apply(params.decoder, z_pred)
+            pred = jnp.sum((x_dec - x_true_s) ** 2, axis=-1)
+            return (z0p, a @ apow, acc), (lin, pred)
+
+        z0 = z_all[:, 0]
+        acc0 = jnp.zeros_like(z0)
+        _, (lin, pred) = jax.lax.scan(body, (z0, eye, acc0), (u_t, z_t, x_t))
+    else:
+
+        def body(z, inp):
+            u_s, z_true_s, x_true_s = inp
+            z_next = z @ a.T + u_s @ b.T
+            lin = jnp.sum((z_next - z_true_s) ** 2, axis=-1)
+            x_dec = mlp_apply(params.decoder, z_next)
+            pred = jnp.sum((x_dec - x_true_s) ** 2, axis=-1)
+            return z_next, (lin, pred)
+
+        _, (lin, pred) = jax.lax.scan(body, z_all[:, 0], (u_t, z_t, x_t))
     l_lin = jnp.mean(jnp.sum(lin, axis=0) / cfg.pred_horizon)
     l_pred = jnp.mean(jnp.sum(pred, axis=0) / cfg.pred_horizon)
     return jnp.mean(l_rec), l_lin, l_pred

@@ -81,3 +81,51 @@ def test_export_weights_roundtrip(tmp_path):
     for (w1, b1), (w2, b2) in zip(state.params.encoder, enc):
         np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), rtol=1e-7)
         np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), rtol=1e-7)
+
+
+def test_legacy_train_exponent_quirk():
+    """The reference's TRAINING loop accumulates inputs with A^{s-1}
+    (DeepLearning...py:525) instead of the true rollout's A^{p-s}
+    (duffing.py:201). lin_exponent='legacy_train' must reproduce that
+    formula exactly; 'rollout' must differ for p >= 2 and match the
+    iterated map."""
+    import numpy as np
+
+    from koopmanx.train.kmae import KMAEConfig, KMAEParams, multi_step_loss
+    from koopmanx.lifts.mlp import mlp_init
+
+    rng = np.random.default_rng(0)
+    n, nlift, m, hor, bsz = 2, 5, 1, 4, 3
+    enc = mlp_init(jax.random.PRNGKey(0), [n, 16, nlift], jnp.float64)
+    dec = mlp_init(jax.random.PRNGKey(1), [nlift, 16, n], jnp.float64)
+    params = KMAEParams(encoder=enc, decoder=dec)
+    a = jnp.asarray(rng.normal(size=(nlift, nlift)) * 0.3)
+    b = jnp.asarray(rng.normal(size=(nlift, m)))
+    x_win = jnp.asarray(rng.normal(size=(bsz, hor + 1, n)))
+    u_win = jnp.asarray(rng.normal(size=(bsz, hor, m)))
+
+    from koopmanx.lifts.mlp import mlp_apply
+
+    z_all = np.asarray(mlp_apply(enc, x_win))
+    a_np, b_np = np.asarray(a), np.asarray(b)
+    u_np = np.asarray(u_win)
+
+    # direct legacy formula: z_p = A^p z0 + sum_{s=1..p} A^{s-1} B u_{s-1}
+    lin_legacy = np.zeros((hor, bsz))
+    for p in range(1, hor + 1):
+        for bi in range(bsz):
+            z_pred = np.linalg.matrix_power(a_np, p) @ z_all[bi, 0]
+            for s in range(1, p + 1):
+                z_pred = z_pred + (
+                    np.linalg.matrix_power(a_np, s - 1) @ b_np @ u_np[bi, s - 1]
+                )
+            lin_legacy[p - 1, bi] = np.sum((z_pred - z_all[bi, p]) ** 2)
+
+    cfg_leg = KMAEConfig(pred_horizon=hor, lin_exponent="legacy_train")
+    cfg_rol = KMAEConfig(pred_horizon=hor, lin_exponent="rollout")
+    _, l_lin_leg, _ = multi_step_loss(params, a, b, x_win, u_win, cfg_leg)
+    _, l_lin_rol, _ = multi_step_loss(params, a, b, x_win, u_win, cfg_rol)
+
+    want = float(np.mean(lin_legacy.sum(axis=0) / hor))
+    np.testing.assert_allclose(float(l_lin_leg), want, rtol=1e-10)
+    assert abs(float(l_lin_rol) - want) > 1e-6  # quirk differs from rollout
