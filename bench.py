@@ -43,6 +43,9 @@ def main():
     cfg.steps = steps
     cfg.dtype = "float32"
     cfg.unroll = int(os.environ.get("BENCH_UNROLL", "4"))
+    prec = os.environ.get("BENCH_PRECISION")
+    if prec:
+        cfg.matmul_precision = prec
     cfg.mpc.horizon = horizon
     cfg.switch_step = steps // 2  # live time-varying parameters mid-run
     cfg.data = C.DataConfig(n_step=50, n_traj=50)

@@ -137,6 +137,15 @@ class EngineConfig:
     # lax.scan unroll factor for the time loop: >1 amortizes while-loop
     # carry copies over multiple steps at the cost of compile time.
     unroll: int = 1
+    # Matmul precision for everything inside the fused step. TPU f32
+    # matmuls default to single-pass bf16 approximations; that default
+    # silently corrupts the online estimator's Gram refits — observed
+    # 2026-08-18: the f32 Tank windowed loop drains to x2=0 by step 3000
+    # on TPU while identical code tracks r=1 on CPU. 'high' (3-pass bf16,
+    # ~f32 accuracy) is the validated default: duffing 10k / vdp 1k /
+    # tank 3k reference-scale TPU runs all track at <1e-2 steady-state
+    # error. 'highest' is full f32; never ship 'default' for f32.
+    matmul_precision: str = "high"
 
     @property
     def qp_config(self) -> ADMMConfig:
@@ -561,10 +570,11 @@ def make_closed_loop(
         def body(carry, step):
             return one_step(params, carry, step, theta_sched)
 
-        return jax.lax.scan(
-            body, carry0, step_offset + jnp.arange(cfg.steps),
-            unroll=cfg.unroll,
-        )
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return jax.lax.scan(
+                body, carry0, step_offset + jnp.arange(cfg.steps),
+                unroll=cfg.unroll,
+            )
 
     return closed_loop
 

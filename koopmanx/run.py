@@ -201,6 +201,49 @@ def _ref_fn(cfg: C.RunConfig, dictionary: Dictionary, py: int, dtype):
 
 
 def build_pipeline(cfg: C.RunConfig, x_init=None) -> Pipeline:
+    """Build the full pipeline for a run config.
+
+    The one-time SETUP computation (data collection, dictionary build/
+    normalization stats, batch EDMD fit, estimator warm start) runs on the
+    HOST CPU and is moved to the accelerator afterwards. This is a
+    correctness requirement, not a preference: TPU f32 matmuls use
+    reduced-precision passes by default and the TPU SVD/pinv custom calls
+    are inaccurate on ill-conditioned lifted Grams — fitting the VDP
+    preset's initial model ON the TPU produced an unstable A whose
+    horizon-20 powers overflow the condensed QP (observed 2026-08-18:
+    every solve NaN, u ≡ 0). The reference fits in float64 NumPy/MATLAB
+    (duffing.py:167); host CPU f32/f64 LAPACK reproduces that reliably.
+    """
+    try:
+        host = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:  # CPU backend unavailable (exotic deployments)
+        host = jax.devices()[0]
+    target = jax.devices()[0]
+    with jax.default_device(host):
+        pipe = _build_pipeline_on_host(cfg, x_init)
+    if target != host:
+        moved = jax.device_put(
+            (pipe.dictionary, pipe.data, pipe.model0, pipe.rls0,
+             pipe.params, pipe.x_init),
+            target,
+        )
+        pipe = pipe._replace(
+            dictionary=moved[0], data=moved[1], model0=moved[2],
+            rls0=moved[3], params=moved[4], x_init=moved[5],
+        )
+        # the closed loop closes over the dictionary; rebuild it with the
+        # device-resident copy so jit doesn't capture host-committed arrays
+        pipe = pipe._replace(
+            closed_loop=make_closed_loop(
+                get_system(cfg.system), moved[0], pipe.engine_cfg,
+                _ref_fn(cfg, moved[0], pipe.params.q_block.shape[0],
+                        _dtype(cfg)),
+            )
+        )
+    return pipe
+
+
+def _build_pipeline_on_host(cfg: C.RunConfig, x_init=None) -> Pipeline:
     system = get_system(cfg.system)
     dtype = _dtype(cfg)
     key = jax.random.PRNGKey(cfg.seed)
@@ -280,6 +323,7 @@ def build_pipeline(cfg: C.RunConfig, x_init=None) -> Pipeline:
         terminal_mode=cfg.mpc.terminal_mode,
         state_bounds=cfg.mpc.state_bounds is not None,
         unroll=cfg.unroll,
+        matmul_precision=cfg.matmul_precision,
     )
     closed_loop = make_closed_loop(system, dictionary, engine_cfg, ref_fn)
     if x_init is None:
