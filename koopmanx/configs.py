@@ -88,13 +88,12 @@ class RunConfig:
     dtype: str = "float32"
     seed: int = 101
     unroll: int = 1  # time-scan unroll factor (perf knob, semantics-neutral)
-    # engine matmul precision: 'high' (3-pass bf16 ~= f32 accuracy; the
-    # validated default — duffing 10k / vdp 1k / tank 3k reference-scale
-    # runs all track at <1e-2 sse) | 'highest' (full f32, belt-and-braces) |
-    # 'default' (TPU fast bf16 passes — KNOWN BAD: silently corrupts the
-    # windowed estimator's Gram refit; the f32 Tank loop drains by step
-    # 3000. Never ship 'default' for f32 production.)
-    matmul_precision: str = "high"
+    # CONTROLLER-side matmul precision (encode, QP build, ADMM):
+    # 'default' (TPU fast bf16 passes — validated at reference scale now
+    # that the estimator pins its own full precision internally, see
+    # koopmanx.edmd.rls.full_precision) | 'high' | 'highest' to harden
+    # the controller for ill-conditioned custom workloads.
+    matmul_precision: str = "default"
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     lift: LiftConfig = dataclasses.field(default_factory=LiftConfig)
     mpc: MPCConfig = dataclasses.field(default_factory=MPCConfig)

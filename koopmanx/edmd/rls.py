@@ -31,6 +31,29 @@ import jax.numpy as jnp
 from jax import Array
 
 from ..ops.linalg import spd_inverse
+from ..types import LinearModel as _LM  # noqa: F401 (re-export convenience)
+
+
+def full_precision(fn):
+    """Pin FULL f32 matmul precision inside estimator math.
+
+    TPU f32 matmuls default to single-pass bf16; the online estimator's
+    Gram accumulations/refits are exactly the ill-conditioned place where
+    those ~8 mantissa bits matter — at TPU-default precision the f32 Tank
+    windowed loop tracks for ~1k steps and then drains to x2=0 by step
+    3000 (2026-08-18, tools/validate_scale.py), while the controller side
+    (encode/QP/ADMM) is insensitive at reference scale. These ops are a
+    microscopic share of the step's FLOPs, so correctness costs nothing.
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
 from ..types import LinearModel, RLSState
 from .batch import GramStats
 
@@ -79,6 +102,7 @@ def _sm_downdate(inv_g: Array, v: Array, lam: float) -> Array:
     return (inv_g - jnp.outer(gv, gv) / denom) / lam
 
 
+@full_precision
 def rls_update_ab(
     state: RLSState,
     z: Array,
@@ -97,6 +121,7 @@ def rls_update_ab(
     return state._replace(K_A=k_a, invG=inv_g)
 
 
+@full_precision
 def rls_update_c(
     state: RLSState,
     z: Array,
@@ -129,6 +154,7 @@ def storage_init(stats: GramStats) -> StorageState:
     return StorageState(stats.syv, stats.gvv, stats.sxz, stats.gzz)
 
 
+@full_precision
 def storage_update(
     state: StorageState, z: Array, u: Array, z_next: Array, x_target: Array
 ) -> StorageState:
@@ -141,6 +167,7 @@ def storage_update(
     )
 
 
+@full_precision
 def storage_model(state: StorageState, nlift: int) -> LinearModel:
     k_ext = state.syv @ jnp.linalg.pinv(state.gvv)
     c = state.sxz @ jnp.linalg.pinv(state.gzz)
@@ -222,6 +249,7 @@ def sqrt_rls_init_from_grams(stats: GramStats) -> SqrtRLSState:
     )
 
 
+@full_precision
 def sqrt_rls_update_ab(
     state: SqrtRLSState,
     z: Array,
@@ -250,6 +278,7 @@ def sqrt_rls_update_ab(
     )
 
 
+@full_precision
 def sqrt_rls_update_c(
     state: SqrtRLSState,
     z: Array,
@@ -274,6 +303,7 @@ def _solve_gram(r: Array, rhs: Array) -> Array:
     return solve_triangular(r, y, lower=False)
 
 
+@full_precision
 def sqrt_rls_model(state: SqrtRLSState, nlift: int) -> "LinearModel":
     """K_ext = K_A G^{-1} and C = barX Q^{-1} from the factors."""
     k_ext = _solve_gram(state.r_g, state.K_A.T).T
@@ -323,6 +353,7 @@ def gram_rls_init_from_grams(stats: GramStats) -> GramRLSState:
     return GramRLSState(K_A=stats.syv, g=stats.gvv, barX=stats.sxz, q=stats.gzz)
 
 
+@full_precision
 def gram_rls_update(
     state: GramRLSState,
     z: Array,
@@ -363,6 +394,7 @@ def schulz_inverse(a: Array, iters: int = 24) -> Array:
     return x
 
 
+@full_precision
 def gram_rls_model(
     state: GramRLSState, nlift: int, ridge: float = 1e-6, schulz_iters: int = 0
 ) -> LinearModel:

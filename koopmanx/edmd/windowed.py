@@ -27,7 +27,7 @@ from jax import Array
 
 from ..types import LinearModel
 from ..ops.linalg import spd_inverse
-from .rls import schulz_inverse
+from .rls import full_precision, schulz_inverse
 
 
 class WindowState(NamedTuple):
@@ -52,6 +52,7 @@ def window_init(
     )
 
 
+@full_precision
 def window_prefill(
     state: WindowState, zx: Array, u: Array, zy: Array, x: Array
 ) -> WindowState:
@@ -69,6 +70,7 @@ def window_prefill(
     )
 
 
+@full_precision
 def window_update(
     state: WindowState, z: Array, u: Array, z_next: Array, x_target: Array
 ) -> WindowState:
@@ -83,6 +85,7 @@ def window_update(
     )
 
 
+@full_precision
 def window_model(
     state: WindowState, nlift: int, ridge: float = 1e-4, schulz_iters: int = 24
 ) -> LinearModel:

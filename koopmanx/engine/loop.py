@@ -137,15 +137,18 @@ class EngineConfig:
     # lax.scan unroll factor for the time loop: >1 amortizes while-loop
     # carry copies over multiple steps at the cost of compile time.
     unroll: int = 1
-    # Matmul precision for everything inside the fused step. TPU f32
-    # matmuls default to single-pass bf16 approximations; that default
-    # silently corrupts the online estimator's Gram refits — observed
-    # 2026-08-18: the f32 Tank windowed loop drains to x2=0 by step 3000
-    # on TPU while identical code tracks r=1 on CPU. 'high' (3-pass bf16,
-    # ~f32 accuracy) is the validated default: duffing 10k / vdp 1k /
-    # tank 3k reference-scale TPU runs all track at <1e-2 steady-state
-    # error. 'highest' is full f32; never ship 'default' for f32.
-    matmul_precision: str = "high"
+    # Matmul precision for the CONTROLLER side of the step (encode, QP
+    # build, ADMM). TPU f32 matmuls default to single-pass bf16
+    # approximations; that default silently corrupted the online
+    # estimator's Gram refit (observed 2026-08-18: the f32 Tank windowed
+    # loop drains to x2=0 by step 3000 on TPU while identical code tracks
+    # r=1 on CPU) — so every estimator update/extraction function in
+    # koopmanx.edmd pins FULL precision internally (see
+    # edmd.rls.full_precision) regardless of this knob. The controller
+    # side tolerates fast precision at reference scale (duffing 10k /
+    # vdp 1k / tank 3k validated); raise to 'high'/'highest' to harden it
+    # for ill-conditioned custom workloads.
+    matmul_precision: str = "default"
 
     @property
     def qp_config(self) -> ADMMConfig:

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -118,8 +119,12 @@ def model_from_rls(state: RLSState, nlift: int) -> LinearModel:
     ``K_ext = K_A @ invG`` then slice (reference duffing.py:938, 978-981);
     ``C = barX @ barQ`` (reference duffing.py:953).
     """
-    k_ext = state.K_A @ state.invG
-    a = k_ext[..., :, :nlift]
-    b = k_ext[..., :, nlift:]
-    c = state.barX @ state.barQ
+    # estimator math runs at full matmul precision (see
+    # koopmanx.edmd.rls.full_precision for why TPU-default bf16 passes
+    # are not safe here)
+    with jax.default_matmul_precision("highest"):
+        k_ext = state.K_A @ state.invG
+        a = k_ext[..., :, :nlift]
+        b = k_ext[..., :, nlift:]
+        c = state.barX @ state.barQ
     return LinearModel(A=a, B=b, C=c)
