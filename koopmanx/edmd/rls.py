@@ -31,7 +31,6 @@ import jax.numpy as jnp
 from jax import Array
 
 from ..ops.linalg import spd_inverse
-from ..types import LinearModel as _LM  # noqa: F401 (re-export convenience)
 
 
 def full_precision(fn):
