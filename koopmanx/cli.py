@@ -55,6 +55,9 @@ def cmd_run(args):
     if args.steps:
         cfg.steps = args.steps
     cfg = _apply_overrides(cfg, args.override or [])
+    if cfg.dtype == "float64" and not jax.config.jax_enable_x64:
+        # honor -o dtype=float64 without requiring a separate --x64 flag
+        jax.config.update("jax_enable_x64", True)
 
     pipe = build_pipeline(cfg)
     carry, log = run_single(pipe)
