@@ -56,6 +56,7 @@ class MPCConfig:
     terminal_synthesis: bool = False
     terminal_mode: str = "dare"  # dare | lmi (Revise_2 YALMIP parity)
     state_bounds: Optional[Tuple[float, float]] = None
+    markov: str = "dag"  # prediction-matrix build: dag|doubling|assoc|scan
     qp_iters: int = 60
     qp_rho: float = 0.1
 

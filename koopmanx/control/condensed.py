@@ -54,14 +54,17 @@ def prediction_matrices(
     model: LinearModel,
     horizon: int,
     cy: Optional[Array] = None,
-    method: str = "doubling",
+    method: str = "dag",
 ) -> PredictionMatrices:
     """Build F1/F2 for a (possibly Δu-augmented) model.
 
     ``cy`` selects tracked outputs from ``C z`` (``Cy = [0 1]``,
     Tank_System.m:113); ``None`` tracks the full output ``C z``.
-    ``method``: 'doubling' (log-depth, default) or 'scan' (linear-depth
-    recursion, bitwise-closest to the reference's power loop).
+    ``method``: 'dag' (default — log-depth per-row binary composition,
+    relayout-free under vmap, the fastest on TPU), 'doubling' (log-depth
+    power-stack concatenation), 'assoc' (associative_scan; slow lowering,
+    kept for study) or 'scan' (linear-depth recursion, bitwise-closest to
+    the reference's power loop).
     """
     c = model.C
     cy_c = c if cy is None else cy @ c
@@ -71,6 +74,10 @@ def prediction_matrices(
 
     if method == "doubling":
         rows, markov = markov_doubling(model.A, model.B, cy_c, horizon)
+    elif method == "assoc":
+        rows, markov = markov_assoc(model.A, model.B, cy_c, horizon)
+    elif method == "dag":
+        rows, markov = markov_dag(model.A, model.B, cy_c, horizon)
     else:
         rows, markov = markov_scan(model.A, model.B, cy_c, horizon)
     f1 = rows.reshape(horizon * py, nz)
@@ -178,18 +185,60 @@ def markov_doubling(a: Array, b: Array, cy_c: Array, horizon: int):
     Identical results (up to float reassociation), ~4x shorter critical
     path and MXU-friendlier shapes.
     """
-    nz = a.shape[-1]
-    dtype = a.dtype
     # power stack [A^1] -> [A^1..A^2] -> ... (doubling) -> [A^1..A^N]
     powers = a[None]  # (1, nz, nz)
     while powers.shape[0] < horizon:
         top = powers[-1]  # A^(len)
         powers = jnp.concatenate([powers, powers @ top], axis=0)
     powers = powers[:horizon]  # A^1..A^N
-    eye = jnp.eye(nz, dtype=dtype)
-    pow0 = jnp.concatenate([eye[None], powers[:-1]], axis=0)  # A^0..A^(N-1)
+    return _rows_markov_from_powers(powers, b, cy_c)
 
+
+def _rows_markov_from_powers(powers: Array, b: Array, cy_c: Array):
+    """(rows, markov) from the stack [A^1..A^N]."""
+    nz = powers.shape[-1]
+    eye = jnp.eye(nz, dtype=powers.dtype)
+    pow0 = jnp.concatenate([eye[None], powers[:-1]], axis=0)  # A^0..A^(N-1)
     cyc_pows = jnp.einsum("pn,jnk->jpk", cy_c, pow0)  # (N, py, nz) CyC A^j
     markov = cyc_pows @ b  # (N, py, m)
     rows = jnp.einsum("pn,jnk->jpk", cy_c, powers)  # (N, py, nz) CyC A^{j+1}
+    return rows, markov
+
+
+def markov_assoc(a: Array, b: Array, cy_c: Array, horizon: int):
+    """Markov parameters via ``lax.associative_scan`` on a broadcast stack.
+
+    Same log-depth critical path as :func:`markov_doubling`, but the power
+    stack is built by XLA's associative-scan lowering on one fixed-shape
+    (N, nz, nz) buffer instead of progressively wider concatenations —
+    under vmap the concatenation rounds force physical relayout copies of
+    the whole batched stack between rounds (the dominant copy cost seen in
+    the per-op TPU profile), which this formulation avoids.
+    """
+    stack = jnp.broadcast_to(a, (horizon,) + a.shape)
+    powers = jax.lax.associative_scan(jnp.matmul, stack)  # A^1..A^N
+    return _rows_markov_from_powers(powers, b, cy_c)
+
+
+def markov_dag(a: Array, b: Array, cy_c: Array, horizon: int):
+    """Markov parameters via a per-row binary-composition DAG.
+
+    Builds the binary power ladder A^(2^r) (log N squarings), then each
+    row g_j = CyC A^j individually as g_{j-2^r} @ A^(2^r) — a log-depth
+    DAG of (py, nz) @ (nz, nz) products — and stacks the rows once. Unlike
+    the doubling rounds there is no progressively wider concatenation, so
+    under vmap XLA inserts no whole-stack relayout copies (the dominant
+    copy cost in the per-op TPU profile of the doubling build); every
+    intermediate is a (py, nz) row, not an (N, nz, nz) stack.
+    """
+    ladder = [a]  # A^(2^r)
+    while (1 << len(ladder)) < horizon:
+        top = ladder[-1]
+        ladder.append(top @ top)
+    g = [cy_c]  # g_j = CyC A^j
+    for j in range(1, horizon + 1):
+        r = j.bit_length() - 1  # largest 2^r <= j
+        g.append(g[j - (1 << r)] @ ladder[r])
+    rows = jnp.stack(g[1:], axis=0)  # (N, py, nz) CyC A^{j+1}
+    markov = jnp.stack(g[:horizon], axis=0) @ b  # (N, py, m) (CyC A^j) B
     return rows, markov

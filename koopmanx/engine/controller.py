@@ -134,7 +134,7 @@ def _make_step_fn(dictionary: Dictionary, cfg: EngineConfig, params: MPCParams,
         rbar = jnp.kron(
             jnp.eye(horizon, dtype=params.r_block.dtype), params.r_block
         )
-        pred = prediction_matrices(ctrl_model, horizon, params.cy)
+        pred = prediction_matrices(ctrl_model, horizon, params.cy, cfg.markov)
         if cfg.f_clamp > 0.0:
             pred = jax.tree_util.tree_map(
                 lambda f: jnp.clip(

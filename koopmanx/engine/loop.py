@@ -87,6 +87,7 @@ class EngineConfig:
     rls_ridge: float = 0.0  # rls_sqrt mode: per-step diagonal trickle
     symmetrize: bool = True
     switch_step: int = 100  # plant-parameter switch (>= steps disables)
+    markov: str = "dag"  # prediction-matrix build (condensed.py): dag|doubling|assoc|scan
     qp_iters: int = 60
     qp_rho: float = 0.1
     qp_sigma: float = 1e-6
@@ -301,7 +302,7 @@ def make_closed_loop(
             jnp.eye(horizon, dtype=params.r_block.dtype), params.r_block
         )
 
-        pred = prediction_matrices(ctrl_model, horizon, params.cy)
+        pred = prediction_matrices(ctrl_model, horizon, params.cy, cfg.markov)
         if cfg.f_clamp > 0.0:
             pred = jax.tree_util.tree_map(
                 lambda f: jnp.clip(

@@ -317,6 +317,7 @@ def _build_pipeline_on_host(cfg: C.RunConfig, x_init=None) -> Pipeline:
         dither=uc.dither,
         symmetrize=uc.symmetrize,
         switch_step=cfg.switch_step,
+        markov=cfg.mpc.markov,
         qp_iters=cfg.mpc.qp_iters,
         qp_rho=cfg.mpc.qp_rho,
         terminal_synthesis=cfg.mpc.terminal_synthesis,

@@ -42,6 +42,21 @@ def test_prediction_matrices_match_loop_oracle():
     np.testing.assert_allclose(np.asarray(pred.f2), f2, rtol=1e-10)
 
 
+def test_markov_methods_are_equivalent():
+    model = _random_model(jax.random.PRNGKey(3))
+    cy = jnp.array([[0.0, 1.0]], dtype=jnp.float64)
+    for horizon in (1, 7, 20):
+        ref = prediction_matrices(model, horizon, cy, method="scan")
+        for method in ("doubling", "assoc", "dag"):
+            got = prediction_matrices(model, horizon, cy, method=method)
+            np.testing.assert_allclose(
+                np.asarray(got.f1), np.asarray(ref.f1), rtol=1e-9, atol=1e-12
+            )
+            np.testing.assert_allclose(
+                np.asarray(got.f2), np.asarray(ref.f2), rtol=1e-9, atol=1e-12
+            )
+
+
 def test_delta_u_augmentation():
     model = _random_model(jax.random.PRNGKey(1), nz=4, m=2, p=2)
     aug = augment_delta_u(model)

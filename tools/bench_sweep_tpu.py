@@ -30,6 +30,7 @@ def run_config(batch: int, unroll: int, steps: int = 50, horizon: int = 20):
     cfg.dtype = "float32"
     cfg.unroll = unroll
     cfg.mpc.horizon = horizon
+    cfg.mpc.markov = os.environ.get("BENCH_MARKOV", "dag")
     cfg.switch_step = steps // 2
     cfg.data = C.DataConfig(n_step=50, n_traj=50)
     cfg.lift = C.LiftConfig(kind="mlp", nlift=8)
