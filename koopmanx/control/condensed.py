@@ -232,7 +232,9 @@ def markov_dag(a: Array, b: Array, cy_c: Array, horizon: int):
     intermediate is a (py, nz) row, not an (N, nz, nz) stack.
     """
     ladder = [a]  # A^(2^r)
-    while (1 << len(ladder)) < horizon:
+    # must contain A^(2^r) for r = floor(log2(horizon)), i.e. horizon.bit_length()
+    # entries — `< horizon` under-built it for exact powers of two.
+    while len(ladder) < horizon.bit_length():
         top = ladder[-1]
         ladder.append(top @ top)
     g = [cy_c]  # g_j = CyC A^j

@@ -45,7 +45,9 @@ def test_prediction_matrices_match_loop_oracle():
 def test_markov_methods_are_equivalent():
     model = _random_model(jax.random.PRNGKey(3))
     cy = jnp.array([[0.0, 1.0]], dtype=jnp.float64)
-    for horizon in (1, 7, 20):
+    # include exact powers of two — the ladder-boundary case where the dag
+    # build under-allocated (advisor round-1 high finding) — plus odd mids.
+    for horizon in (1, 2, 4, 7, 8, 13, 16, 20):
         ref = prediction_matrices(model, horizon, cy, method="scan")
         for method in ("doubling", "assoc", "dag"):
             got = prediction_matrices(model, horizon, cy, method=method)
