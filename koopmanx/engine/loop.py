@@ -32,7 +32,7 @@ from ..control.condensed import (
     prediction_matrices,
     weight_bar,
 )
-from ..control.qp import ADMMConfig, solve_qp
+from ..control.qp import ADMMConfig, solve_box_qp, solve_qp
 from ..control.lmi import solve_terminal_lmi
 from ..control.terminal import synthesize_terminal
 from ..edmd.windowed import window_model, window_update
@@ -341,19 +341,27 @@ def make_closed_loop(
                 l_ineq = jnp.concatenate([l_ineq, l_state])
                 u_ineq = jnp.concatenate([u_ineq, u_state])
 
+        lo = jnp.broadcast_to(params.u_min, (horizon * m,))
+        hi = jnp.broadcast_to(params.u_max, (horizon * m,))
         qp = condensed_qp(
-            pred,
-            z_qp,
-            yr,
-            qbar,
-            rbar,
-            jnp.broadcast_to(params.u_min, (horizon * m,)),
-            jnp.broadcast_to(params.u_max, (horizon * m,)),
-            a_ineq,
-            l_ineq,
-            u_ineq,
+            pred, z_qp, yr, qbar, rbar, lo, hi, a_ineq, l_ineq, u_ineq
         )
-        if cfg.qp_warm_start == "full":
+        if a_ineq is None:
+            # Box-only fast path (A = I): the Duffing/VDP loops' only
+            # constraints are the input box (duffing.py:636 ±2,
+            # vanderpol.py:542 ±6) — skip the A-matmuls entirely and shrink
+            # the KKT solve to (P + (sigma+rho) I)^{-1}. Statically known:
+            # a_ineq is a trace-time Python value.
+            if cfg.qp_warm_start == "full":
+                sol = solve_box_qp(
+                    qp.P, qp.q, lo, hi, qp_cfg,
+                    x0=carry.warm_x, y0=carry.warm_y,
+                )
+            elif cfg.qp_warm_start == "primal":
+                sol = solve_box_qp(qp.P, qp.q, lo, hi, qp_cfg, x0=carry.warm_x)
+            else:
+                sol = solve_box_qp(qp.P, qp.q, lo, hi, qp_cfg)
+        elif cfg.qp_warm_start == "full":
             sol = solve_qp(qp, qp_cfg, x0=carry.warm_x, y0=carry.warm_y)
         elif cfg.qp_warm_start == "primal":
             sol = solve_qp(qp, qp_cfg, x0=carry.warm_x)

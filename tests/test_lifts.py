@@ -73,6 +73,63 @@ def test_torch_pkl_import():
     assert [w.shape for w, _ in dec] == [(100, 8), (100, 100), (100, 100), (2, 100)]
 
 
+def test_torch_free_unpickler_matches_torch_load():
+    """The storage-level zip unpickler (no torch import) must decode bit-
+    identical weights to torch.load on the reference flagship checkpoint."""
+    import pickle
+
+    import torch
+
+    from koopmanx.lifts.io import load_torch_state_dict
+
+    class _SU(pickle.Unpickler):
+        def find_class(self, module, name):
+            if name in ("AutoEncoder", "Encoder", "Decoder"):
+                import torch.nn as nn
+
+                return type(name, (nn.Module,), {})
+            return super().find_class(module, name)
+
+    class _M:
+        Unpickler = _SU
+
+        @staticmethod
+        def load(f, **k):
+            return _SU(f).load()
+
+    path = f"{REF}/AutoEncoder_20220418_duffing_2.pkl"
+    ours = load_torch_state_dict(path)
+    with open(path, "rb") as f:
+        m = torch.load(f, map_location="cpu", pickle_module=_M, weights_only=False)
+    theirs = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    assert set(ours) == set(theirs)
+    for k in ours:
+        np.testing.assert_array_equal(ours[k], theirs[k])
+
+
+def test_torch_free_unpickler_without_torch(tmp_path):
+    """Loading must succeed in a process where importing torch is
+    impossible (the 'no torch needed' claim, checked for real)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.modules['torch'] = None\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from koopmanx.lifts.io import load_torch_autoencoder\n"
+        "enc, dec = load_torch_autoencoder("
+        f"'{REF}/AutoEncoder_20220418_duffing_2.pkl')\n"
+        "assert len(enc) == 4 and len(dec) == 4\n"
+        "print('OK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "OK" in out.stdout
+
+
 def test_thinplate_rbf_matches_formula():
     centers = jnp.array([[0.0, 0.0], [1.0, 1.0]], dtype=jnp.float64)
     d = rbf_dictionary(centers, "thinplate")
