@@ -189,6 +189,127 @@ def duffing_closed_loop_oracle(
     return np.stack(log_x), np.stack(log_u)
 
 
+def duffing_closed_loop_oracle_qp(
+    enc,
+    a0,
+    b0,
+    c0,
+    steps: int = 150,
+    horizon: int = 10,
+    update: bool = True,
+    x_init=(-2.0, -2.0),
+    u_bound: float = 2.0,
+    q_weight: float = 100.0,
+    r_weight: float = 1e-4,
+):
+    """The Duffing closed loop with the shooting problem solved as the
+    EXACT condensed QP (scipy SLSQP-refined active-set, ``oracle.
+    solve_box_qp_scipy``) instead of L-BFGS-B — same convex problem as
+    duffing.py:540-581 at its true optimum. This pins the ENGINE (QP
+    build + ADMM + RLS + plant) at tight tolerance, separating engine
+    bugs from the reference solver's stopping-short noise (the L-BFGS-B
+    oracle above stays as the documented solver-difference measurement).
+
+    Returns (logX (steps, 2), logU (steps, 1))."""
+    rk4_step = oracle.rk4(oracle.duffing_f(), 0.05)
+    nlift = a0.shape[0]
+
+    a, b, c = a0.copy(), b0.copy(), c0.copy()
+    x = np.asarray(x_init, dtype=np.float64)
+    k_a = np.zeros((nlift, nlift + 1))
+    inv_g = 1e4 * np.eye(nlift + 1)
+    bar_x = np.zeros((2, nlift))
+    bar_q = 100.0 * np.eye(nlift)
+    log_x, log_u = [], []
+    r = np.zeros((horizon, 2))
+    r[:, 0] = 1.0
+    yr = r.reshape(-1)
+    qbar = q_weight * np.eye(2 * horizon)
+    rbar = r_weight * np.eye(horizon)
+
+    for i in range(steps):
+        z = encoder_forward(enc, x[:, None]).ravel()
+        f1, f2 = oracle.prediction_matrices_loop(a, b, c, np.eye(2), horizon)
+        p_qp, q_qp = oracle.condensed_cost(f1, f2, qbar, rbar, z, yr)
+        u_seq = oracle.solve_box_qp_scipy(p_qp, q_qp, -u_bound, u_bound)
+        u = np.array([u_seq[0]])
+        x_next = rk4_step(x, u)
+        log_x.append(x.copy())
+        log_u.append(u.copy())
+        if update:
+            z_next = encoder_forward(enc, x_next[:, None]).ravel()
+            k_a, inv_g = oracle.rls_ab_step(k_a, inv_g, z, u, z_next)
+            bar_x, bar_q = oracle.rls_c_step(bar_x, bar_q, z, x_next)
+            k_ext = k_a @ inv_g
+            a = k_ext[:, :nlift]
+            b = k_ext[:, nlift:]
+            c = bar_x @ bar_q
+        x = x_next
+    return np.stack(log_x), np.stack(log_u)
+
+
+def vdp_closed_loop_oracle_qp(
+    enc,
+    a0,
+    b0,
+    steps: int = 60,
+    horizon: int = 10,
+    update: bool = True,
+    switch_step: int = 10**9,
+    x_init=(-2.0, -2.0),
+    u_bound: float = 6.0,
+    c_rls_init: float = 1e5,
+    ab_rls_init: float = 1e5,
+    q_weight: float = 100.0,
+    r_weight: float = 1e-4,
+):
+    """vanderpol.py's lifted-tracking loop with the EXACT condensed QP
+    (C = I over the lift, encoded reference) — the exact-optimum analog of
+    :func:`vdp_closed_loop_oracle`, pinning the engine's
+    ``track_lifted`` path at tight tolerance."""
+    h = 0.05
+    nominal = oracle.vdp_f()
+    switched = oracle.vdp_f(a=1.0, b=-3.0, c=-10.0, d=-3.0)
+    nlift = a0.shape[0]
+
+    r_state = np.array([1.0, 0.0])
+    r_lift = encoder_forward(enc, r_state[:, None]).ravel()
+    yr = np.tile(r_lift, horizon)
+    qbar = q_weight * np.eye(nlift * horizon)
+    rbar = r_weight * np.eye(horizon)
+    c_eye = np.eye(nlift)
+
+    a, b = a0.copy(), b0.copy()
+    x = np.asarray(x_init, dtype=np.float64)
+    k_a = np.zeros((nlift, nlift + 1))
+    inv_g = ab_rls_init * np.eye(nlift + 1)
+    bar_x = np.zeros((2, nlift))
+    bar_q = c_rls_init * np.eye(nlift)
+    log_x, log_u = [], []
+    f = nominal
+    for i in range(steps):
+        z = encoder_forward(enc, x[:, None]).ravel()
+        f1, f2 = oracle.prediction_matrices_loop(a, b, c_eye, c_eye, horizon)
+        p_qp, q_qp = oracle.condensed_cost(f1, f2, qbar, rbar, z, yr)
+        u_seq = oracle.solve_box_qp_scipy(p_qp, q_qp, -u_bound, u_bound)
+        u = np.array([u_seq[0]])
+        step_fn = oracle.rk4(f, h)
+        x_next = step_fn(x, u)
+        log_x.append(x.copy())
+        log_u.append(u.copy())
+        if update:
+            z_next = encoder_forward(enc, x_next[:, None]).ravel()
+            k_a, inv_g = oracle.rls_ab_step(k_a, inv_g, z, u, z_next)
+            bar_x, bar_q = oracle.rls_c_step(bar_x, bar_q, z, x_next)
+            k_ext = k_a @ inv_g
+            a = k_ext[:, :nlift]
+            b = k_ext[:, nlift:]
+        if i > switch_step:
+            f = switched
+        x = x_next
+    return np.stack(log_x), np.stack(log_u)
+
+
 def generate_vdp_data(
     seed: int = 101, n_step: int = 100, n_traj: int = 100
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -130,6 +130,98 @@ def test_closed_loop_parity(reference_setup, update):
     assert u_err < 0.5
 
 
+@pytest.mark.parametrize("update", [False, True])
+def test_closed_loop_exact_qp_parity(reference_setup, update):
+    """Gate 5-tight: engine vs the EXACT condensed-QP oracle (same convex
+    problem solved to optimality by scipy). Unlike the L-BFGS-B gate this
+    carries no solver-stopping-short slop, so it pins the engine (QP build
+    + ADMM + RLS + plant chain) at ~1e-7 — a real engine regression cannot
+    hide here."""
+    X, Y, U, enc, a0, b0, c0 = reference_setup
+    steps = 80
+    log_x_o, log_u_o = parity.duffing_closed_loop_oracle_qp(
+        enc, a0, b0, c0, steps=steps, update=update
+    )
+
+    d = encoder_dictionary(load_mat_mlp(WEIGHTS, dtype=jnp.float64), n=2)
+    cfg = EngineConfig(
+        horizon=10,
+        steps=steps,
+        update="rls" if update else "off",
+        c_pairing="next",
+        symmetrize=False,
+        switch_step=10**9,
+        qp_iters=400,
+        qp_rho=0.1,
+    )
+    ref_fn = refgen.constant(
+        jnp.array([1.0, 0.0], dtype=jnp.float64), 10, 2, jnp.float64
+    )
+    loop = make_closed_loop(DUFFING, d, cfg, ref_fn)
+    params = MPCParams(
+        q_block=100.0 * jnp.eye(2, dtype=jnp.float64),
+        r_block=1e-4 * jnp.eye(1, dtype=jnp.float64),
+        u_min=jnp.array([-2.0], dtype=jnp.float64),
+        u_max=jnp.array([2.0], dtype=jnp.float64),
+    )
+    model0 = LinearModel(A=jnp.asarray(a0), B=jnp.asarray(b0), C=jnp.asarray(c0))
+    rls0 = rls_init(8, 1, 2, c_ab=1e4, c_c=1e2, dtype=jnp.float64)
+    _, log = jax.jit(loop)(
+        params, jnp.array([-2.0, -2.0], dtype=jnp.float64), model0, rls0
+    )
+    # observed: 9e-9 (static model) / 3.5e-8 (online RLS) state deviation
+    x_err = np.abs(np.asarray(log.x) - log_x_o).max()
+    u_err = np.abs(np.asarray(log.u) - log_u_o).max()
+    assert x_err < 1e-6, x_err
+    assert u_err < 1e-5, u_err
+
+
+FLAGSHIP_PKL = "/root/reference/AutoEncoder_20220418_duffing_2.pkl"
+
+
+def test_flagship_pkl_closed_loop_parity(reference_setup):
+    """Gate 5-pkl: the reference flagship loads
+    ``AutoEncoder_20220418_duffing_2.pkl`` (duffing.py:57); Revise_2's
+    ``duffing_weights.mat`` is its exact export (duffing.py:61-64). Assert
+    the weights are bit-identical AND run the closed-loop gate through the
+    pkl-loaded (torch-free) dictionary against the exact-QP oracle."""
+    from koopmanx.lifts.io import load_torch_autoencoder
+
+    X, Y, U, enc, a0, b0, c0 = reference_setup
+    enc_pkl, _ = load_torch_autoencoder(FLAGSHIP_PKL, dtype=jnp.float64)
+    mat = load_mat_mlp(WEIGHTS, dtype=jnp.float64)
+    for (w1, b1), (w2, b2) in zip(enc_pkl, mat):
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+
+    steps = 40
+    log_x_o, log_u_o = parity.duffing_closed_loop_oracle_qp(
+        enc, a0, b0, c0, steps=steps, update=True
+    )
+    d = encoder_dictionary(enc_pkl, n=2)
+    cfg = EngineConfig(
+        horizon=10, steps=steps, update="rls", c_pairing="next",
+        symmetrize=False, switch_step=10**9, qp_iters=400, qp_rho=0.1,
+    )
+    ref_fn = refgen.constant(
+        jnp.array([1.0, 0.0], dtype=jnp.float64), 10, 2, jnp.float64
+    )
+    loop = make_closed_loop(DUFFING, d, cfg, ref_fn)
+    params = MPCParams(
+        q_block=100.0 * jnp.eye(2, dtype=jnp.float64),
+        r_block=1e-4 * jnp.eye(1, dtype=jnp.float64),
+        u_min=jnp.array([-2.0], dtype=jnp.float64),
+        u_max=jnp.array([2.0], dtype=jnp.float64),
+    )
+    model0 = LinearModel(A=jnp.asarray(a0), B=jnp.asarray(b0), C=jnp.asarray(c0))
+    rls0 = rls_init(8, 1, 2, c_ab=1e4, c_c=1e2, dtype=jnp.float64)
+    _, log = jax.jit(loop)(
+        params, jnp.array([-2.0, -2.0], dtype=jnp.float64), model0, rls0
+    )
+    assert np.abs(np.asarray(log.x) - log_x_o[:steps]).max() < 1e-6
+    assert np.abs(np.asarray(log.u) - log_u_o[:steps]).max() < 1e-5
+
+
 VDP_WEIGHTS = "/root/reference/VDP_Revise_2/Good_VDP.mat"
 
 
@@ -188,6 +280,54 @@ def test_vdp_closed_loop_parity_with_live_switch(vdp_setup):
         f"max VDP traj deviation {err}; ours tail {x_ours[-3:,0]}, "
         f"oracle tail {log_x_o[-3:,0]}"
     )
+
+
+def test_vdp_closed_loop_exact_qp_parity(vdp_setup):
+    """Gate 5b-tight: the VDP lifted-tracking loop (encoded reference,
+    online RLS, LIVE plant switch) vs the EXACT condensed-QP oracle —
+    pins the track_lifted path at ~1e-7 without L-BFGS-B slop."""
+    from koopmanx.systems import VANDERPOL
+
+    X, Y, U, enc, a0, b0, c0 = vdp_setup
+    steps = 60
+    switch = 40
+    log_x_o, log_u_o = parity.vdp_closed_loop_oracle_qp(
+        enc, a0, b0, steps=steps, update=True, switch_step=switch
+    )
+
+    d = encoder_dictionary(load_mat_mlp(VDP_WEIGHTS, dtype=jnp.float64), n=2)
+    cfg = EngineConfig(
+        horizon=10,
+        steps=steps,
+        update="rls",
+        c_pairing="next",
+        symmetrize=False,
+        track_lifted=True,
+        switch_step=switch + 1,
+        qp_iters=500,
+        qp_rho=0.1,
+    )
+    base = refgen.constant_state(
+        jnp.array([1.0, 0.0], dtype=jnp.float64), 10, dtype=jnp.float64
+    )
+    ref_fn = refgen.encoded(base, d, 2)
+    loop = make_closed_loop(VANDERPOL, d, cfg, ref_fn)
+    params = MPCParams(
+        q_block=100.0 * jnp.eye(8, dtype=jnp.float64),
+        r_block=1e-4 * jnp.eye(1, dtype=jnp.float64),
+        u_min=jnp.array([-6.0], dtype=jnp.float64),
+        u_max=jnp.array([6.0], dtype=jnp.float64),
+    )
+    model0 = LinearModel(A=jnp.asarray(a0), B=jnp.asarray(b0), C=jnp.asarray(c0))
+    rls0 = rls_init(8, 1, 2, c_ab=1e5, c_c=1e5, dtype=jnp.float64)
+    _, log = jax.jit(loop)(
+        params, jnp.array([-2.0, -2.0], dtype=jnp.float64), model0, rls0
+    )
+    # observed: 1.4e-7 state / 1.2e-5 input at 500 ADMM iterations
+    x_err = np.abs(np.asarray(log.x) - log_x_o).max()
+    u_err = np.abs(np.asarray(log.u) - log_u_o).max()
+    assert x_err < 1e-6, x_err
+    assert u_err < 1e-4, u_err
 
 
 def test_tank_delta_u_parity():
