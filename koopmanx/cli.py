@@ -83,7 +83,14 @@ def cmd_run(args):
         from .eval.plots import save_figure_bundle
 
         bounds = (cfg.mpc.u_min, cfg.mpc.u_max)
-        save_figure_bundle(args.figures, log, h=cfg.data.h, u_bounds=bounds)
+        # C-map reconstruction of the closed-loop trajectory through the
+        # initial model (duffing.py:354-390 reconstruction subplots)
+        z_traj = pipe.dictionary(log.x)
+        x_recon = z_traj @ np.asarray(pipe.model0.C).T
+        save_figure_bundle(
+            args.figures, log, h=cfg.data.h, u_bounds=bounds,
+            data=pipe.data, recon=(x, x_recon),
+        )
 
     summary = {
         "system": cfg.system,

@@ -85,6 +85,12 @@ class RunConfig:
     switch_step: int = 100
     reference: str = "constant"  # constant | sine | square | chirp | cos_sin_mix
     reference_value: float = 1.0
+    # full-state constant reference (overrides reference_value), e.g. the
+    # VDP_Revise_2 setpoint [-1, 0] (Koopman_update_Tracking_Lift.m:111)
+    reference_state: Optional[Tuple[float, ...]] = None
+    # initial plant state; None = per-system reference default
+    # (duffing.py:650 [-2,-2]; Tank_System.m:125 zeros)
+    x0: Optional[Tuple[float, ...]] = None
     integrator: str = "rk4"
     dtype: str = "float32"
     seed: int = 101
@@ -230,6 +236,45 @@ def revise2_duffing_preset() -> RunConfig:
     )
 
 
+def revise2_vdp_preset() -> RunConfig:
+    """VDP_Revise_2/Koopman_update_Tracking_Lift.m: lifted tracking with
+    C = Cy = eye(Nlift) (:99,:106), Q = 100 I_Nlift / R = 1e-4 (:109-110),
+    encoded setpoint Yr = liftFun([-1;0]) (:111), FULL-P terminal injection
+    (:283), u in [-6,6] (:138,:151), 1000 steps (:143), x0 = [1;1] (:118),
+    live plant switch at step 100 (:157-166) under the MATLAB k4-from-k1
+    RK4, zero-offset NN lift Encoder_VDP(x)-Encoder_VDP(0) (:65-66), RLS
+    [A B] from scratch with invK_G = pinv(1e-5 I) = 1e5 I (:184-185) and no
+    C update (the C block stays commented, :198-210).
+
+    Deviations, both documented: (a) the per-step certificate defaults to
+    the DARE synthesis (terminal_mode="lmi" restores the YALMIP-style
+    solve); (b) the LMI/Lyapunov anchor uses the actual setpoint [-1;0]
+    where the reference anchors liftFun(x0-[1;0]) (:246) — a leftover from
+    the Duffing script's r=+1; (c) the estimator defaults to the
+    f32-robust sqrt form (mode="rls" + dtype="float64" for strict
+    reference numerics)."""
+    return RunConfig(
+        system="vanderpol",
+        steps=1000,
+        switch_step=100,
+        integrator="rk4_matlab",
+        reference_state=(-1.0, 0.0),
+        reference_value=-1.0,
+        x0=(1.0, 1.0),
+        mpc=MPCConfig(
+            horizon=10, q_weight=100.0, r_weight=1e-4, u_min=-6, u_max=6,
+            track_lifted=True, terminal_synthesis=True,
+        ),
+        update=UpdateConfig(
+            mode="rls_sqrt", ridge=1e-2, c_ab=1e5, c_c=1e5, c_pairing="same"
+        ),
+        lift=LiftConfig(
+            kind="mlp", nlift=8, zero_offset=True, normalize=True,
+            weights_path="/root/reference/VDP_Revise_2/Good_VDP.mat",
+        ),
+    )
+
+
 def duffing_rbf_preset() -> RunConfig:
     """duffing_RBF.py: thinplate-eps RBF lift with KMeans centers (:20-23,
     :44-46), storage-method online update (:404-438), otherwise the
@@ -327,5 +372,6 @@ PRESETS = {
     "vanderpol": vdp_lifted_preset,
     "tank": tank_preset,
     "revise2_duffing": revise2_duffing_preset,
+    "revise2_vdp": revise2_vdp_preset,
     "toy1d": toy1d_preset,
 }

@@ -201,6 +201,19 @@ def solve_terminal_lmi(
         q_cl = q_lift + k_out.T @ r_mat @ k_out
         p_out = solve_dlyap_doubling(acl, q_cl)
         gamma = jnp.maximum(gamma, psi @ p_out @ psi * 1.001)
+        # Re-assert the input-bound certificate against the RETURNED pair:
+        # the Schur-minimal X1 for (Q1_eff = gamma P^{-1}, Y1 = K Q1_eff)
+        # is K Q1_eff K' = gamma K P^{-1} K', and LMI0 + the X1(j,j)
+        # bound (Revise_2/Koopman_update.m:350-353) require its diagonal
+        # <= u_max^2. The correction replaces P (and lifts gamma), so the
+        # pre-correction X1 no longer certifies — fold any violation into
+        # the reported feasibility residual.
+        x1_min_diag = gamma * jnp.diag(
+            k_out @ (spd_inverse(p_out, eps=1e-9) @ k_out.T)
+        )
+        feas = jnp.maximum(
+            feas, jnp.max(jax.nn.relu(x1_min_diag - u_max**2))
+        )
     return LMIResult(
         p=p_out,
         k=k_out,

@@ -68,6 +68,11 @@ class MPCParams(NamedTuple):
     q_lift: Optional[Array] = None  # lifted-state weight for terminal synth
     x_min: Optional[Array] = None  # (N*py,) stacked state box (Revise_2)
     x_max: Optional[Array] = None
+    # State-space reference point used as the Lyapunov / LMI / monitor
+    # anchor x - r (Revise_2/Koopman_update.m:331, :382-385). Required in
+    # lifted-tracking mode where the receding reference window is already
+    # encoded; falls back to the first n channels of the window when None.
+    ref_state: Optional[Array] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -181,6 +186,17 @@ class StepLog(NamedTuple):
     residual: Array
     qp_primal_res: Array
     lyapunov: Array
+    # ---- Revise_2 per-step certificate monitors (zeros unless
+    # cfg.terminal_synthesis; reference series cited per field) ----
+    gamma: Array  # Gamma_k (Revise_2/Koopman_update.m:369)
+    eps_state: Array  # ||x+ - C(Az+Bu)|| (epsilon_Set, :253)
+    eps_op: Array  # ||(zeta-(Az+Bu)) pinv(z)||_F (epsilon_Decomposition, :254)
+    compensator: Array  # K (zeta - (Az+Bu)) (m,) (Compensator, :251)
+    gamma_margin: Array  # Gamma - (V - x_err' CPC' x_err) (Gamma_Set, :385)
+    compare_state: Array  # u'Ru - (A^N N psi(e))' P (A^N N psi(e)) (:386)
+    minus_set: Array  # z'Q_lift z - |(2 zeta)' P (zeta - (Az+Bu))| (:374)
+    ellipse: Array  # C P C'/Gamma (py,py): invariant-ellipsoid section
+    # matrix; host-side chol reproduces the phase-plot rings (:521-535)
 
 
 def _tree_finite(tree) -> Array:
@@ -270,13 +286,16 @@ def make_closed_loop(
 
         # ---- terminal weight ----
         if cfg.terminal_synthesis:
-            if cfg.terminal_mode == "lmi":
-                # Revise_2 parity: per-step LMI anchored at the current
-                # lifted tracking error (Revise_2/Koopman_update.m:331)
+            if params.ref_state is not None:
+                ref_full = params.ref_state
+            else:
                 r0 = ref_fn(step)[0]
                 ref_full = jnp.zeros((n,), dtype=z.dtype).at[
                     : r0.shape[-1]
                 ].set(r0[:n])
+            if cfg.terminal_mode == "lmi":
+                # Revise_2 parity: per-step LMI anchored at the current
+                # lifted tracking error (Revise_2/Koopman_update.m:331)
                 psi = dictionary(x - ref_full)
                 lmi_res = solve_terminal_lmi(
                     model,
@@ -286,16 +305,30 @@ def make_closed_loop(
                     u_max=params.u_max[0],  # traced scalar is fine here
                 )
                 cert_p = lmi_res.p
+                cert_k = lmi_res.k  # u = K z convention (ref :361)
+                cert_gamma = lmi_res.gamma
             else:
-                cert_p = synthesize_terminal(
-                    model, params.q_lift, params.r_block
-                ).p
-            c_for_term = model.C if params.cy is None else params.cy @ model.C
-            terminal = c_for_term @ cert_p @ c_for_term.T
+                cert = synthesize_terminal(model, params.q_lift, params.r_block)
+                cert_p = cert.p
+                cert_k = -cert.k  # dlqr returns u = -K z; flip to ref convention
+                cert_gamma = cert.gamma
+            if cfg.track_lifted:
+                # lifted tracking injects the FULL P — the tracked output
+                # is z itself so the output map is the identity
+                # (VDP_Revise_2/Koopman_update_Tracking_Lift.m:283)
+                c_for_term = jnp.eye(dictionary.nlift, dtype=z.dtype)
+                terminal = cert_p
+            else:
+                c_for_term = model.C if params.cy is None else params.cy @ model.C
+                terminal = c_for_term @ cert_p @ c_for_term.T
             p_lyap = cert_p
         else:
             terminal = params.terminal
             p_lyap = None
+            cert_k = None
+            cert_gamma = None
+            ref_full = None
+            c_for_term = None
 
         qbar = weight_bar(params.q_block, horizon, terminal)
         rbar = jnp.kron(
@@ -507,14 +540,61 @@ def make_closed_loop(
         drift_a = _matnorm(new_model.A - model.A, cfg.drift_norm)
         drift_b = _matnorm(new_model.B - model.B, cfg.drift_norm)
         drift_c = _matnorm(new_model.C - model.C, cfg.drift_norm)
+        py_out = params.q_block.shape[0]
         if p_lyap is not None:
             # V = psi(x - r)' P psi(x - r) (Revise_2/Koopman_update.m:382-384)
-            py = r_window.shape[-1]
-            ref_full = jnp.zeros((n,), dtype=x.dtype).at[:py].set(r_window[0][:n])
             psi_err = dictionary(x - ref_full)
             lyap = psi_err @ p_lyap @ psi_err
+            # ---- the full Revise_2 per-step monitor series; all use the
+            # PRE-update model, matching the reference which logs before
+            # the RLS block (Revise_2/Koopman_update.m:251-254) ----
+            z_pred = model.A @ z + model.B @ u_applied
+            res_vec = z_next - z_pred
+            eps_state = jnp.linalg.norm(x_next - model.C @ z_pred)
+            # eps * pinv(z) is the rank-one matrix res_vec z'/||z||^2 whose
+            # Frobenius norm is ||res_vec||/||z|| (epsilon_Decomposition :254)
+            eps_op = jnp.linalg.norm(res_vec) / jnp.maximum(
+                jnp.linalg.norm(z), jnp.asarray(1e-30, z.dtype)
+            )
+            comp = cert_k @ res_vec  # Compensator (:251)
+            x_err = x - ref_full
+            if cfg.track_lifted:
+                # lifted tracking (C = I): the output-space correction term
+                # of :385 coincides with V, so the literal formula collapses
+                # to Gamma; log the ellipsoid MEMBERSHIP margin Gamma - V
+                # instead (the quantity :385 is measuring a slice of)
+                g_margin = cert_gamma - lyap
+            else:
+                e_out = x_err if params.cy is None else params.cy @ x_err
+                g_margin = cert_gamma - (lyap - e_out @ terminal @ e_out)
+            # Compare_State (:386): u'Ru vs the N-step amplified prediction
+            # error under the terminal cost
+            e_pred = x_next - model.C @ z_pred
+            psi_e = dictionary(e_pred)
+            a_pow = jnp.linalg.matrix_power(model.A, horizon)
+            amp = (a_pow @ psi_e) * horizon
+            compare_state = (
+                u_applied @ params.r_block @ u_applied
+                - amp @ p_lyap @ amp
+            )
+            # Minus_Set (:374): z'Q_lift z - |(2 zeta)' P (zeta - pred)|
+            minus_set = z @ params.q_lift @ z - jnp.abs(
+                2.0 * (z_next @ p_lyap @ res_vec)
+            )
+            ellipse = terminal / jnp.maximum(
+                cert_gamma, jnp.asarray(1e-30, z.dtype)
+            )
+            gamma_log = cert_gamma
         else:
             lyap = jnp.zeros((), dtype=x.dtype)
+            gamma_log = jnp.zeros((), dtype=x.dtype)
+            eps_state = jnp.zeros((), dtype=x.dtype)
+            eps_op = jnp.zeros((), dtype=x.dtype)
+            comp = jnp.zeros((m,), dtype=x.dtype)
+            g_margin = jnp.zeros((), dtype=x.dtype)
+            compare_state = jnp.zeros((), dtype=x.dtype)
+            minus_set = jnp.zeros((), dtype=x.dtype)
+            ellipse = jnp.zeros((py_out, py_out), dtype=x.dtype)
 
         # warm start: shift the solution one step (last move repeated);
         # sanitize so a pathological solve cannot poison later steps
@@ -541,6 +621,14 @@ def make_closed_loop(
             residual=residual,
             qp_primal_res=sol.primal_res,
             lyapunov=lyap,
+            gamma=gamma_log,
+            eps_state=eps_state,
+            eps_op=eps_op,
+            compensator=comp,
+            gamma_margin=g_margin,
+            compare_state=compare_state,
+            minus_set=minus_set,
+            ellipse=ellipse,
         )
         return new_carry, log
 

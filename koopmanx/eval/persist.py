@@ -60,6 +60,14 @@ def archive_run(path: str, log, h: float = 0.05, mat: bool = False) -> None:
         "lyapunov": np.asarray(log.lyapunov),
         "tspan": tspan,
     }
+    # Revise_2 certificate monitor series (zeros unless terminal synthesis
+    # was on; field names mirror the reference collections)
+    for field in (
+        "gamma", "eps_state", "eps_op", "compensator",
+        "gamma_margin", "compare_state", "minus_set", "ellipse",
+    ):
+        if hasattr(log, field):
+            arrays[field] = np.asarray(getattr(log, field))
     np.savez(path, **arrays)
     if mat:
         import scipy.io as sio
@@ -75,7 +83,15 @@ def archive_run(path: str, log, h: float = 0.05, mat: bool = False) -> None:
                 "A_error": arrays["drift_a"],
                 "B_error": arrays["drift_b"],
                 "C_error": arrays["drift_c"],
-                "epsilon_Set": arrays["residual"],
+                "epsilon_Set": arrays.get("eps_state", arrays["residual"]),
                 "V_Set": arrays["lyapunov"],
+                # Revise_2 collections (Koopman_update.m:251-254, :369-387)
+                "Gamma_Collection": arrays.get("gamma", np.zeros(t)),
+                "Gamma_Set": arrays.get("gamma_margin", np.zeros(t)),
+                "Compensator": arrays.get(
+                    "compensator", np.zeros((t, 1))
+                ).T,
+                "Compare_State": arrays.get("compare_state", np.zeros(t)),
+                "Minus_Set": arrays.get("minus_set", np.zeros(t)),
             },
         )

@@ -136,18 +136,144 @@ def phase_portrait(x, ellipsoid: Optional[np.ndarray] = None, center=None, ax=No
     return ax
 
 
-def save_figure_bundle(prefix: str, log, h: float = 0.05, u_bounds=None):
-    """Write the standard figure set for a closed-loop run."""
+def training_scatter(x_data, ax=None):
+    """Training-data scatter in the (x1, x2) plane (the reference plots the
+    collected snapshots before fitting, duffing.py:346-352)."""
     plt = _plt()
-    ax = tracking(log.x, log.r, h)
-    ax.figure.savefig(f"{prefix}_tracking.png", dpi=120)
-    plt.close(ax.figure)
-    ax = drift_curves(log.drift_a, log.drift_b, log.drift_c, h)
-    ax.figure.savefig(f"{prefix}_drift.png", dpi=120)
-    plt.close(ax.figure)
-    ax = input_trace(log.u, h, u_bounds)
-    ax.figure.savefig(f"{prefix}_input.png", dpi=120)
-    plt.close(ax.figure)
-    ax = phase_portrait(log.x)
-    ax.figure.savefig(f"{prefix}_phase.png", dpi=120)
-    plt.close(ax.figure)
+    if ax is None:
+        _, ax = plt.subplots()
+    x = np.asarray(x_data)
+    if x.ndim > 2:
+        x = x.reshape(-1, x.shape[-1])
+    if x.shape[-1] == 1:
+        ax.scatter(np.arange(x.shape[0]), x[:, 0], s=2, alpha=0.4)
+        ax.set_xlabel("snapshot")
+        ax.set_ylabel("$x$")
+    else:
+        ax.scatter(x[:, 0], x[:, 1], s=2, alpha=0.4)
+        ax.set_xlabel("$x_1$")
+        ax.set_ylabel("$x_2$")
+    ax.set_title("training snapshots")
+    ax.grid(True)
+    return ax
+
+
+def reconstruction(x_true, x_recon, h: float = 0.05, fig=None):
+    """Per-channel state vs decoder/C-map reconstruction subplots
+    (duffing.py:354-390: x_i overlaid with Dec(Enc(x))_i)."""
+    plt = _plt()
+    xt = np.asarray(x_true)
+    xr = np.asarray(x_recon)
+    n = xt.shape[1]
+    if fig is None:
+        fig, axes = plt.subplots(n, 1, figsize=(6, 2.2 * n), squeeze=False)
+        axes = axes[:, 0]
+    else:
+        axes = fig.subplots(n, 1, squeeze=False)[:, 0]
+    t = h * np.arange(xt.shape[0])
+    for i in range(n):
+        axes[i].plot(t, xt[:, i], label="true", linewidth=1.5)
+        axes[i].plot(t, xr[:, i], "--", label="reconstruction", linewidth=1.2)
+        axes[i].set_ylabel(f"$x_{i + 1}$")
+        axes[i].grid(True)
+    axes[0].legend()
+    axes[-1].set_xlabel("$t/s$")
+    fig.tight_layout()
+    return fig
+
+
+def monitor_series(values, ylabel: str, ax=None, diff: bool = False):
+    """One Revise_2 per-step monitor series (V, dV, eps, gamma, compensator,
+    Compare_State, Minus_Set — Revise_2/Koopman_update.m:505-560 figures)."""
+    plt = _plt()
+    if ax is None:
+        _, ax = plt.subplots()
+    v = np.asarray(values)
+    if v.ndim > 1:
+        v = v.reshape(v.shape[0], -1)[:, 0]
+    if diff:
+        v = np.diff(v)
+    ax.plot(v, linewidth=2.0)
+    ax.set_xlabel("Steps")
+    ax.set_ylabel(ylabel)
+    ax.grid(True)
+    return ax
+
+
+def ellipsoid_rings(ellipse_series, x=None, stride: int = 1, ax=None):
+    """The invariant-ellipsoid ring plot (Revise_2/Koopman_update.m:521-535):
+    for each logged section matrix E_k = C P_k C'/Gamma_k draw
+    {chol(E_k)^{-1} [cos t; sin t]}, overlaying the state trajectory.
+    Cholesky runs HERE on host — never on the per-step device path."""
+    plt = _plt()
+    if ax is None:
+        _, ax = plt.subplots()
+    es = np.asarray(ellipse_series)
+    th = np.linspace(0, 2 * np.pi, 200)
+    circ = np.stack([np.cos(th), np.sin(th)])
+    for k in range(0, es.shape[0], max(stride, 1)):
+        e = es[k][:2, :2]
+        if not np.isfinite(e).all():
+            continue
+        try:
+            rr = np.linalg.cholesky(e)
+        except np.linalg.LinAlgError:
+            continue
+        pts = np.linalg.solve(rr, circ)
+        ax.plot(pts[0], pts[1], linewidth=0.8, alpha=0.5)
+    if x is not None:
+        x = np.asarray(x)
+        ax.plot(x[:, 0], x[:, 1], "r-", linewidth=2.5, label="State trajectory")
+        ax.legend()
+    ax.set_xlabel("$x_1$")
+    ax.set_ylabel("$x_2$")
+    ax.grid(True)
+    return ax
+
+
+def save_figure_bundle(
+    prefix: str, log, h: float = 0.05, u_bounds=None, data=None, recon=None
+):
+    """Write the standard figure set for a closed-loop run.
+
+    Always: tracking, drift, input(+bounds), phase. With ``data`` (training
+    Snapshots): the training scatter. With ``recon=(x_true, x_hat)``: the
+    reconstruction subplots. When the log carries live Revise_2 certificate
+    monitors (``gamma`` nonzero): the full 11-figure Revise_2 counterpart
+    set (Revise_2/Koopman_update.m:479-563) — x1/x2/u are covered by
+    tracking+input, plus eps, V, dV, ellipsoid rings, gamma, gamma margin,
+    compensator, Compare_State, Minus_Set.
+    """
+    plt = _plt()
+
+    def _save(ax_or_fig, name):
+        fig = getattr(ax_or_fig, "figure", ax_or_fig)
+        fig.savefig(f"{prefix}_{name}.png", dpi=120)
+        plt.close(fig)
+
+    _save(tracking(log.x, log.r, h), "tracking")
+    x = np.asarray(log.x)
+    if x.shape[1] > 1:
+        _save(tracking(log.x, log.r, h, channel=1), "tracking_x2")
+    _save(drift_curves(log.drift_a, log.drift_b, log.drift_c, h), "drift")
+    _save(input_trace(log.u, h, u_bounds), "input")
+    _save(phase_portrait(log.x), "phase")
+    if data is not None:
+        _save(training_scatter(getattr(data, "x", data)), "training_scatter")
+    if recon is not None:
+        _save(reconstruction(recon[0], recon[1], h), "reconstruction")
+    gamma = np.asarray(getattr(log, "gamma", np.zeros(1)))
+    if np.any(gamma != 0.0):
+        _save(monitor_series(log.eps_state, r"$\epsilon$"), "epsilon")
+        _save(monitor_series(log.eps_op, r"$\|\epsilon\,\mathrm{pinv}(z)\|$"), "eps_operator")
+        _save(monitor_series(log.lyapunov, r"$V=\phi^T P \phi$"), "lyapunov")
+        _save(monitor_series(log.lyapunov, r"$V(k+1)-V(k)$", diff=True), "lyapunov_decrease")
+        _save(monitor_series(gamma, r"$\gamma_k$"), "gamma")
+        _save(monitor_series(log.gamma_margin, r"$\gamma$ margin"), "gamma_margin")
+        _save(monitor_series(log.compensator, "Compensator"), "compensator")
+        _save(monitor_series(log.compare_state, "Compare\\_State"), "compare_state")
+        _save(monitor_series(log.minus_set, "Minus\\_Set"), "minus_set")
+        es = np.asarray(log.ellipse)
+        if es.shape[-1] >= 2:
+            stride = max(1, es.shape[0] // 100)
+            _save(ellipsoid_rings(es, log.x, stride=stride), "ellipsoid")

@@ -154,9 +154,28 @@ def _mpc_params(cfg: C.RunConfig, dictionary: Dictionary, system) -> MPCParams:
         )
     q_lift = None
     if mc.terminal_synthesis:
-        # Q_Lift = diag([q q 0...]) on the lifted state (Revise_2:283 region)
-        diag = jnp.zeros((dictionary.nlift,), dtype).at[: system.n].set(mc.q_weight)
-        q_lift = jnp.diag(diag)
+        if mc.track_lifted:
+            # lifted tracking weights the whole lifted state: Q_Lift = Q
+            # (VDP_Revise_2/Koopman_update_Tracking_Lift.m:197 `Q_Lift = Q`)
+            q_lift = mc.q_weight * jnp.eye(dictionary.nlift, dtype=dtype)
+        else:
+            # Q_Lift = diag([q q 0...]) on the lifted state (Revise_2:283 region)
+            diag = jnp.zeros((dictionary.nlift,), dtype).at[: system.n].set(
+                mc.q_weight
+            )
+            q_lift = jnp.diag(diag)
+    ref_state = None
+    if cfg.reference == "constant":
+        # the state-space anchor for Lyapunov/LMI monitors (x - Yr with
+        # Yr(1:2) the underlying state reference, Revise_2:382-385) — in
+        # lifted tracking the receding window is already encoded so the
+        # engine cannot recover it from ref_fn
+        if cfg.reference_state is not None:
+            ref_state = jnp.asarray(cfg.reference_state, dtype)
+        else:
+            ref_state = jnp.zeros((system.n,), dtype).at[0].set(
+                cfg.reference_value
+            )
     return MPCParams(
         q_block=q_block,
         r_block=r_block,
@@ -169,6 +188,7 @@ def _mpc_params(cfg: C.RunConfig, dictionary: Dictionary, system) -> MPCParams:
         q_lift=q_lift,
         x_min=x_minmax[0],
         x_max=x_minmax[1],
+        ref_state=ref_state,
     )
 
 
@@ -176,15 +196,15 @@ def _ref_fn(cfg: C.RunConfig, dictionary: Dictionary, py: int, dtype):
     mc = cfg.mpc
     n = get_system(cfg.system).n
     if cfg.reference == "constant":
+        if cfg.reference_state is not None:
+            r_state = jnp.asarray(cfg.reference_state, dtype)
+        else:
+            r_state = jnp.zeros((n,), dtype).at[0].set(cfg.reference_value)
         if mc.track_lifted:
-            base = refgen.constant_state(
-                jnp.zeros((n,), dtype).at[0].set(cfg.reference_value),
-                mc.horizon,
-                dtype=dtype,
-            )
+            base = refgen.constant_state(r_state, mc.horizon, dtype=dtype)
             return refgen.encoded(base, dictionary, n)
         return refgen.constant(
-            jnp.zeros((py,), dtype).at[0].set(cfg.reference_value),
+            jnp.zeros((py,), dtype).at[: min(py, n)].set(r_state[: min(py, n)]),
             mc.horizon,
             py,
             dtype,
@@ -327,6 +347,8 @@ def _build_pipeline_on_host(cfg: C.RunConfig, x_init=None) -> Pipeline:
         matmul_precision=cfg.matmul_precision,
     )
     closed_loop = make_closed_loop(system, dictionary, engine_cfg, ref_fn)
+    if x_init is None and cfg.x0 is not None:
+        x_init = jnp.asarray(cfg.x0, dtype)  # preset-pinned initial state
     if x_init is None:
         x_init = jnp.full((system.n,), -2.0, dtype)  # duffing.py:650 init
         if system.name == "tank":
