@@ -39,6 +39,10 @@ class ADMMConfig(NamedTuple):
     sigma: float = 1e-6
     alpha: float = 1.6
     scale_rho: bool = True  # normalize rho by trace(P)/nx (cheap Ruiz stand-in)
+    # lax.scan unroll for the iteration body: the body is ~8 tiny fused ops
+    # on (nx,) vectors, so per-iteration while-loop carry copies dominate;
+    # unrolling amortizes them (semantics-neutral, compile-time cost only)
+    unroll: int = 10
 
 
 def _effective_rho(p: Array, cfg: ADMMConfig) -> Array:
@@ -84,7 +88,10 @@ def solve_qp(
         y_new = y + rho * (z_mid - z_new)
         return (x_new, z_new, y_new), None
 
-    (x, z, y), _ = jax.lax.scan(body, (x, z, y), None, length=cfg.iters)
+    (x, z, y), _ = jax.lax.scan(
+        body, (x, z, y), None, length=cfg.iters,
+        unroll=min(cfg.unroll, cfg.iters),
+    )
 
     ax = qp.A @ x
     primal = jnp.max(jnp.abs(ax - jnp.clip(ax, qp.l, qp.u)))
@@ -140,7 +147,10 @@ def solve_box_qp(
         y_new = y + rho * (x_mid - z_new)
         return (xt, z_new, y_new), None
 
-    (x, z, y), _ = jax.lax.scan(body, (x, z, y), None, length=cfg.iters)
+    (x, z, y), _ = jax.lax.scan(
+        body, (x, z, y), None, length=cfg.iters,
+        unroll=min(cfg.unroll, cfg.iters),
+    )
     primal = jnp.max(jnp.abs(x - jnp.clip(x, lo, hi)))
     dual = jnp.max(jnp.abs(p @ z + q + y))
     return QPSolution(

@@ -210,11 +210,13 @@ def _tree_finite(tree) -> Array:
     reductions were 4 separate fusions ~0.28 ms/step at batch 2048; the
     add-tree of sums fuses into the surrounding computation.
     """
-    total = None
-    for leaf in jax.tree_util.tree_leaves(tree):
-        s = jnp.sum(jnp.abs(leaf.astype(jnp.float32)))
-        total = s if total is None else total + s
-    return jnp.isfinite(total)
+    flat = jnp.concatenate(
+        [
+            jnp.ravel(leaf).astype(jnp.float32)
+            for leaf in jax.tree_util.tree_leaves(tree)
+        ]
+    )
+    return jnp.isfinite(jnp.sum(jnp.abs(flat)))
 
 
 def _matnorm(d: Array, kind: str) -> Array:
@@ -238,7 +240,11 @@ def _spectral_radius_estimate(a: Array, iters: int = 12) -> Array:
         v_new = av / jnp.maximum(nrm, jnp.asarray(1e-30, a.dtype))
         return (v_new, nrm), None
 
-    (v, nrm), _ = jax.lax.scan(body, (v, jnp.asarray(0.0, a.dtype)), None, length=iters)
+    # fully unrolled: 12 dependent matvecs on an (8,8) are ~100 ns of VPU
+    # work — while-loop per-iteration carry copies would cost 10x that
+    (v, nrm), _ = jax.lax.scan(
+        body, (v, jnp.asarray(0.0, a.dtype)), None, length=iters, unroll=iters
+    )
     return nrm
 
 
@@ -537,9 +543,29 @@ def make_closed_loop(
             )
             res_ema = jnp.where(warmed, res_ema, residual)
         
-        drift_a = _matnorm(new_model.A - model.A, cfg.drift_norm)
-        drift_b = _matnorm(new_model.B - model.B, cfg.drift_norm)
-        drift_c = _matnorm(new_model.C - model.C, cfg.drift_norm)
+        if cfg.drift_norm == "fro":
+            # one flattened squared-diff pass: the three Frobenius drift
+            # norms come out of a single (|A|+|B|+|C|)-element kernel with
+            # sibling segment sums instead of three separate reduce fusions
+            # (each ~35 us/step at batch 2048 — measured 2026-08-19)
+            d2 = (
+                jnp.concatenate(
+                    [
+                        jnp.ravel(new_model.A - model.A),
+                        jnp.ravel(new_model.B - model.B),
+                        jnp.ravel(new_model.C - model.C),
+                    ]
+                )
+                ** 2
+            )
+            na, nb = model.A.size, model.B.size
+            drift_a = jnp.sqrt(jnp.sum(d2[:na]))
+            drift_b = jnp.sqrt(jnp.sum(d2[na : na + nb]))
+            drift_c = jnp.sqrt(jnp.sum(d2[na + nb :]))
+        else:
+            drift_a = _matnorm(new_model.A - model.A, cfg.drift_norm)
+            drift_b = _matnorm(new_model.B - model.B, cfg.drift_norm)
+            drift_c = _matnorm(new_model.C - model.C, cfg.drift_norm)
         py_out = params.q_block.shape[0]
         if p_lyap is not None:
             # V = psi(x - r)' P psi(x - r) (Revise_2/Koopman_update.m:382-384)

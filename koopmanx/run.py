@@ -238,7 +238,10 @@ def build_pipeline(cfg: C.RunConfig, x_init=None) -> Pipeline:
         host = jax.local_devices(backend="cpu")[0]
     except RuntimeError:  # CPU backend unavailable (exotic deployments)
         host = jax.devices()[0]
-    target = jax.devices()[0]
+    # local_devices, not devices: under multi-process jax.distributed the
+    # global device list starts with rank 0's devices, which other ranks
+    # cannot device_put to ("Cannot copy array to non-addressable device")
+    target = jax.local_devices()[0]
     with jax.default_device(host):
         pipe = _build_pipeline_on_host(cfg, x_init)
     if target != host:

@@ -1,0 +1,263 @@
+"""Two-process jax.distributed throughput harness (localhost DCN analog).
+
+Measures the multi-PROCESS scaling of the production workload — the
+sharded scenario-parallel closed loop — with real `jax.distributed`
+coordination (the same bring-up path a 2-host TPU pod uses over DCN),
+instead of the thread-oversubscribed single-process CPU-mesh proxy in
+``tools/bench_scaling_cpu.py``:
+
+  python tools/bench_multihost.py [--batch 64] [--steps 40] [--procs 2]
+
+Runs the workload under P=1 and P=2 processes (same per-process device
+count, weak scaling: the global batch doubles with P) and reports
+
+  - closed-loop solves/s at P=1 and P=2 and the process-boundary weak
+    scaling efficiency  eff = T(2)/ (2 T(1)),
+  - the measured cross-process psum latency on an EDMD-Gram-sized pytree
+    (the one collective the production pipeline issues per fit), which is
+    the genuinely new path a second host adds.
+
+HONEST CAVEATS (read before quoting the numbers):
+  * Both "processes" share one localhost CPU — compute oversubscription
+    pushes the efficiency DOWN on small machines, and the "DCN" is a
+    loopback gRPC socket, which pushes the collective latency UP versus
+    real DCN NICs. The numbers bound the coordination overhead of the
+    process boundary; they are NOT a 2-host TPU measurement (no such
+    hardware is reachable here — see BENCHMARKS.md "Scaling evidence").
+  * The closed loop itself has ZERO per-step cross-scenario collectives
+    (time is sequential, scenarios are independent) — that structural
+    fact, plus the measured psum cost at fit time, is the basis of the
+    >=80%-at-2-hosts claim, and this harness checks the collective path
+    end-to-end rather than proving TPU efficiency.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = textwrap.dedent(
+    """
+    import os, sys, time, json
+    sys.path.insert(0, os.environ["KX_REPO"])
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    nproc = int(os.environ["KX_NPROC"])
+    rank = int(os.environ["KX_RANK"])
+    if nproc > 1:
+        jax.distributed.initialize(
+            coordinator_address=os.environ["KX_COORD"],
+            num_processes=nproc,
+            process_id=rank,
+        )
+    import jax.numpy as jnp
+    import numpy as np
+    from functools import partial
+    from jax.sharding import Mesh, PartitionSpec as PS
+    from jax.experimental import multihost_utils
+
+    from koopmanx import configs as C
+    from koopmanx.engine.scenario import sample_scenarios
+    from koopmanx.parallel import sharded_closed_loop
+    from koopmanx.run import build_pipeline
+    from koopmanx.systems import get_system
+
+    devs = np.asarray(jax.devices())
+    mesh = Mesh(devs, ("data",))
+    steps = int(os.environ["KX_STEPS"])
+    b_local = int(os.environ["KX_LOCAL_BATCH"])  # per-process scenarios
+
+    def trace(msg):
+        print(f"[rank {rank}] {msg}", file=sys.stderr, flush=True)
+
+    def barrier(name):
+        # coordination-service barrier (gRPC, minutes-scale timeout).
+        # multihost_utils.sync_global_devices would spin up gloo, whose
+        # 30 s key-exchange deadline trips when the peer process is still
+        # jit-compiling (routinely > 30 s on a small shared CPU).
+        trace(f"-> barrier {name}")
+        if nproc > 1:
+            from jax._src import distributed
+            distributed.global_state.client.wait_at_barrier(name, 600_000)
+        trace(f"<- barrier {name}")
+
+    cfg = C.duffing_nn_preset()
+    cfg.steps = steps
+    cfg.dtype = "float32"
+    cfg.data = C.DataConfig(n_step=16, n_traj=16)
+    pipe = build_pipeline(cfg)  # identical on every process (same seed)
+
+    sc = sample_scenarios(
+        get_system("duffing"), jax.random.PRNGKey(rank), batch=b_local,
+        param_scale=0.15, dtype=jnp.float32,
+    )
+    rep = lambda v: jnp.broadcast_to(v, (b_local,) + v.shape)
+    local_args = (
+        jax.tree_util.tree_map(rep, pipe.params),
+        sc.x0,
+        jax.tree_util.tree_map(rep, pipe.model0),
+        jax.tree_util.tree_map(rep, pipe.rls0),
+        sc.theta0,
+        sc.theta1,
+    )
+    barrier("built")  # align gloo bring-up after the slow pipeline build
+    to_global = lambda x: multihost_utils.host_local_array_to_global_array(
+        x, mesh, PS("data")
+    )
+    gargs = jax.tree_util.tree_map(to_global, local_args)
+
+    def run():
+        _, logs = sharded_closed_loop(pipe.closed_loop, mesh, *gargs)
+        jax.block_until_ready(logs.x)
+        return logs
+
+    trace("compile/warm run")
+    run()  # compile + warm
+    barrier("bench_start")
+    t0 = time.perf_counter()
+    logs = run()
+    barrier("bench_end")  # global completion (loop has no cross-proc collective)
+    wall = time.perf_counter() - t0
+    b_global = b_local * nproc
+    solves_per_s = b_global * steps / wall
+
+    # ---- cross-process collective microbench: the EDMD Gram psum ----
+    d = pipe.dictionary.nlift + 1  # lifted dim + m
+    gram_local = jnp.ones((b_local, d, d), jnp.float32)
+    gram_g = to_global(gram_local)
+
+    @jax.jit  # jit outside shard_map: an un-jitted shard_map re-traces
+    # per call (~100 ms), which would swamp the collective being measured
+    @partial(jax.shard_map, mesh=mesh, in_specs=PS("data"), out_specs=PS())
+    def gram_psum(v):
+        return jax.lax.psum(jnp.sum(v, axis=0), "data")
+
+    trace("compile gram_psum")
+    jax.block_until_ready(gram_psum(gram_g))  # compile
+    reps = 50
+    barrier("psum_start")
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = gram_psum(gram_g)
+    jax.block_until_ready(out)
+    psum_us = (time.perf_counter() - t0) / reps * 1e6
+
+    # finiteness over the GLOBAL sharded log: must be a collective program
+    # executed by EVERY process (np.asarray on a non-fully-addressable
+    # array would hang/crash the printing rank while the peer exits)
+    trace("finiteness collective")
+    finite = bool(jax.jit(lambda v: jnp.isfinite(v).all())(logs.x))
+    trace("finiteness done")
+
+    if rank == 0:
+        print(json.dumps({
+            "procs": nproc,
+            "devices_global": int(devs.size),
+            "batch_global": b_global,
+            "steps": steps,
+            "wall_s": round(wall, 4),
+            "solves_per_s": round(solves_per_s, 1),
+            "gram_psum_us": round(psum_us, 1),
+            "finite": finite,
+        }))
+    barrier("done")  # align shutdown so neither rank trips the 60 s
+    # coordination shutdown-barrier while the other still runs
+    if nproc > 1:
+        jax.distributed.shutdown()  # explicit, aligned teardown: the atexit
+        # hook fires at rank-dependent times and logs spurious barrier errors
+    """
+)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def run_config(nproc: int, local_batch: int, steps: int, dev_per_proc: int):
+    port = _free_port()
+    env_base = {
+        **os.environ,
+        "KX_REPO": REPO,
+        "KX_COORD": f"127.0.0.1:{port}",
+        "KX_NPROC": str(nproc),
+        "KX_STEPS": str(steps),
+        "KX_LOCAL_BATCH": str(local_batch),
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": f"--xla_force_host_platform_device_count={dev_per_proc}",
+    }
+    # stream each rank to its own log file: when one rank dies, the
+    # coordination service kills the OTHERS with a generic barrier error —
+    # the root cause is only in the failing rank's own stderr
+    logdir = os.path.join(REPO, "logs")
+    os.makedirs(logdir, exist_ok=True)
+    procs, logs = [], []
+    for rank in range(nproc):
+        env = {**env_base, "KX_RANK": str(rank)}
+        path = os.path.join(logdir, f"multihost_p{nproc}_r{rank}.log")
+        f = open(path, "w")
+        logs.append(path)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-u", "-c", _WORKER],
+                env=env, stdout=f, stderr=subprocess.STDOUT,
+            )
+        )
+    failed = []
+    for rank, p in enumerate(procs):
+        try:
+            p.wait(timeout=900)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            p.wait()
+            failed.append((rank, "timeout after 900s"))
+            continue
+        if p.returncode != 0:
+            failed.append((rank, f"rc={p.returncode}"))
+    if failed:
+        msgs = []
+        for rank, why in failed:
+            with open(logs[rank]) as f:
+                tail = f.read()[-2000:]
+            msgs.append(f"--- rank {rank} ({why}) tail of {logs[rank]}:\n{tail}")
+        raise RuntimeError("worker(s) failed:\n" + "\n".join(msgs))
+    result = None
+    with open(logs[0]) as f:
+        for line in f:
+            if line.startswith("{"):
+                result = json.loads(line)
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64, help="per-process scenarios")
+    ap.add_argument("--steps", type=int, default=40)
+    ap.add_argument("--procs", type=int, default=2)
+    ap.add_argument("--dev-per-proc", type=int, default=1)
+    args = ap.parse_args()
+
+    single = run_config(1, args.batch, args.steps, args.dev_per_proc)
+    multi = run_config(args.procs, args.batch, args.steps, args.dev_per_proc)
+    eff = multi["solves_per_s"] / (args.procs * single["solves_per_s"])
+    print(json.dumps({
+        "single_process": single,
+        "multi_process": multi,
+        "weak_scaling_efficiency": round(eff, 3),
+        "caveat": (
+            "localhost CPU: shared cores depress efficiency, loopback gRPC "
+            "inflates psum latency vs real DCN; this validates the "
+            "jax.distributed collective path, it is not a TPU-pod number"
+        ),
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    main()

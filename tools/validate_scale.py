@@ -33,12 +33,17 @@ def main():
         "vanderpol": C.vdp_lifted_preset,
         "tank": C.tank_preset,
         "revise2": C.revise2_duffing_preset,
+        "revise2_vdp": C.revise2_vdp_preset,
         "duffing_rbf": C.duffing_rbf_preset,
         "toy1d": C.toy1d_preset,
     }[preset]
     cfg = factory()
     cfg.steps = steps
-    cfg.dtype = "float32"
+    cfg.dtype = os.environ.get("DTYPE", "float32")
+    if cfg.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+        if os.environ.get("CPU"):
+            jax.config.update("jax_platforms", "cpu")
     prec = os.environ.get("PRECISION")
     if prec:
         cfg.matmul_precision = prec
@@ -81,6 +86,13 @@ def main():
         "final_drift_a": float(np.asarray(log.drift_a)[-1]),
         "final_residual": float(np.asarray(log.residual)[-1]),
     }
+    out["dtype"] = cfg.dtype
+    if cfg.mpc.terminal_synthesis:
+        v = np.asarray(log.lyapunov, dtype=np.float64)
+        out["lyapunov_first"] = float(v[0])
+        out["lyapunov_tail_mean"] = float(v[tail].mean())
+        # macro decrease: V decays from its transient scale to the tail
+        out["lyapunov_decayed"] = bool(v[tail].mean() < 0.05 * v[:20].max())
     print(json.dumps(out))
 
 
