@@ -161,3 +161,100 @@ def solve_box_qp(
         dual_res=dual,
         iterations=jnp.asarray(cfg.iters),
     )
+
+
+def solve_box_qp_batch_pallas(
+    p: Array,
+    q: Array,
+    lo: Array,
+    hi: Array,
+    cfg: ADMMConfig = ADMMConfig(),
+    x0: Optional[Array] = None,
+    y0: Optional[Array] = None,
+    tile: int = 1024,
+    unroll: bool = True,
+    interpret: bool = False,
+) -> QPSolution:
+    """Batched box QP via the VMEM-resident Pallas ADMM kernel.
+
+    Same iteration as ``vmap(solve_box_qp)`` (identical KKT setup and
+    epilogue; the kernel keeps the per-scenario KKT inverses in VMEM for
+    all ``cfg.iters`` iterations instead of re-streaming them from HBM —
+    see ``ops/qp_pallas_box.py``). All leaves carry a leading batch dim.
+    """
+    from ..ops.qp_pallas_box import box_admm_pallas
+
+    b, nx = q.shape
+    dtype = q.dtype
+    rho = jax.vmap(lambda pp: _effective_rho(pp, cfg))(p)
+    eye = jnp.eye(nx, dtype=dtype)
+    kkt_inv = spd_inverse(p + (cfg.sigma + rho)[:, None, None] * eye)
+    x0 = jnp.zeros((b, nx), dtype) if x0 is None else x0
+    y0 = jnp.zeros((b, nx), dtype) if y0 is None else y0
+    out = box_admm_pallas(
+        kkt_inv, q, lo, hi, x0, y0, rho,
+        iters=cfg.iters, sigma=cfg.sigma, alpha=cfg.alpha,
+        tile=tile, unroll=unroll, interpret=interpret,
+    )
+    primal = jnp.max(jnp.abs(out.xt - jnp.clip(out.xt, lo, hi)), axis=-1)
+    dual = jnp.max(
+        jnp.abs(jnp.einsum("bij,bj->bi", p, out.z) + q + out.y), axis=-1
+    )
+    return QPSolution(
+        x=out.z,
+        z=out.z,
+        y=out.y,
+        primal_res=primal,
+        dual_res=dual,
+        iterations=jnp.full((b,), cfg.iters),
+    )
+
+
+def make_box_qp_solver(cfg: ADMMConfig, backend: str = "xla"):
+    """Box-QP solver ``solve(p, q, lo, hi, x0, y0)`` with a custom
+    batching rule.
+
+    Called unbatched it is exactly ``solve_box_qp``. Under ``vmap`` (the
+    engine's ``run_batch``/``sharded_closed_loop`` scenario axis) the rule
+    sees the WHOLE batch at once, so ``backend='pallas'`` can route it to
+    the VMEM-resident kernel — something a plain per-scenario function can
+    never express (vmapping a per-scenario ``pallas_call`` would emit one
+    sequential grid cell per scenario). Falls back to ``vmap(solve_box_qp)``
+    off-TPU or at f64, keeping the CPU test mesh and f64 parity paths on
+    the reference XLA implementation.
+    """
+
+    @jax.custom_batching.custom_vmap
+    def solve(p, q, lo, hi, x0, y0):
+        return solve_box_qp(p, q, lo, hi, cfg, x0=x0, y0=y0)
+
+    @solve.def_vmap
+    def _rule(axis_size, in_batched, p, q, lo, hi, x0, y0):
+        def bcast(v, batched):
+            return v if batched else jnp.broadcast_to(
+                v, (axis_size,) + v.shape
+            )
+
+        p, q, lo, hi, x0, y0 = (
+            bcast(v, bt)
+            for v, bt in zip((p, q, lo, hi, x0, y0), in_batched)
+        )
+        use_kernel = (
+            backend == "pallas"
+            and p.dtype == jnp.float32
+            and jax.default_backend() == "tpu"
+        )
+        if use_kernel:
+            sol = solve_box_qp_batch_pallas(p, q, lo, hi, cfg, x0, y0)
+        else:
+            sol = jax.vmap(
+                lambda *a: solve_box_qp(a[0], a[1], a[2], a[3], cfg,
+                                        x0=a[4], y0=a[5])
+            )(p, q, lo, hi, x0, y0)
+        batched = QPSolution(
+            x=True, z=True, y=True,
+            primal_res=True, dual_res=True, iterations=True,
+        )
+        return sol, batched
+
+    return solve

@@ -32,7 +32,7 @@ from ..control.condensed import (
     prediction_matrices,
     weight_bar,
 )
-from ..control.qp import ADMMConfig, solve_box_qp, solve_qp
+from ..control.qp import ADMMConfig, make_box_qp_solver, solve_qp
 from ..control.lmi import solve_terminal_lmi
 from ..control.terminal import synthesize_terminal
 from ..edmd.windowed import window_model, window_update
@@ -103,6 +103,13 @@ class EngineConfig:
     # online-updated model's changing (H, A, l, u) destabilizes a
     # fixed-iteration ADMM (observed on the Tank Δu loop).
     qp_warm_start: str = "primal"
+    # Box-QP backend under scenario batching: 'xla' (batched fusions) or
+    # 'pallas' (VMEM-resident ADMM kernel, ops/qp_pallas_box.py — the
+    # KKT inverses are DMA'd once per step instead of re-read from HBM
+    # every iteration). 'pallas' engages only under vmap on TPU f32 via
+    # a custom_vmap rule; single-scenario, CPU and f64 runs always take
+    # the XLA path, so parity/test behavior is unchanged.
+    qp_backend: str = "xla"
     # Change detection / re-adaptation: when the one-step lifted residual
     # spikes above reset_mult x its running average (EMA), the plant has
     # changed — scale the RLS sufficient statistics by reset_factor
@@ -268,6 +275,7 @@ def make_closed_loop(
     n, m = system.n, system.m
     horizon = cfg.horizon
     qp_cfg = cfg.qp_config
+    box_solver = make_box_qp_solver(qp_cfg, backend=cfg.qp_backend)
 
     def one_step(params: MPCParams, carry: LoopCarry, step: Array, theta_sched):
         x, u_prev = carry.x, carry.u_applied
@@ -391,15 +399,17 @@ def make_closed_loop(
             # vanderpol.py:542 ±6) — skip the A-matmuls entirely and shrink
             # the KKT solve to (P + (sigma+rho) I)^{-1}. Statically known:
             # a_ineq is a trace-time Python value.
-            if cfg.qp_warm_start == "full":
-                sol = solve_box_qp(
-                    qp.P, qp.q, lo, hi, qp_cfg,
-                    x0=carry.warm_x, y0=carry.warm_y,
-                )
-            elif cfg.qp_warm_start == "primal":
-                sol = solve_box_qp(qp.P, qp.q, lo, hi, qp_cfg, x0=carry.warm_x)
-            else:
-                sol = solve_box_qp(qp.P, qp.q, lo, hi, qp_cfg)
+            # box_solver == solve_box_qp unbatched; under the scenario
+            # vmap its custom batching rule can route the whole batch to
+            # the VMEM-resident Pallas kernel (cfg.qp_backend='pallas')
+            zeros_x = jnp.zeros_like(qp.q)
+            x0 = (
+                carry.warm_x
+                if cfg.qp_warm_start in ("full", "primal")
+                else zeros_x
+            )
+            y0 = carry.warm_y if cfg.qp_warm_start == "full" else zeros_x
+            sol = box_solver(qp.P, qp.q, lo, hi, x0, y0)
         elif cfg.qp_warm_start == "full":
             sol = solve_qp(qp, qp_cfg, x0=carry.warm_x, y0=carry.warm_y)
         elif cfg.qp_warm_start == "primal":

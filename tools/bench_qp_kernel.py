@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Box-ADMM QP solve: XLA batched path vs VMEM-resident Pallas kernel.
+
+Measures the solve INSIDE a lax.scan (single-op TPU microbenches only see
+the ~25 ms axon dispatch — BENCHMARKS.md house rule), with fresh q each
+step so nothing hoists. Also asserts parity on the final solutions.
+
+  BENCH_BATCH=2048 BENCH_NX=20 BENCH_ITERS=60 python tools/bench_qp_kernel.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from koopmanx.control.qp import (
+    ADMMConfig,
+    solve_box_qp,
+    solve_box_qp_batch_pallas,
+)
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "2048"))
+    nx = int(os.environ.get("BENCH_NX", "20"))
+    iters = int(os.environ.get("BENCH_ITERS", "60"))
+    steps = int(os.environ.get("BENCH_STEPS", "50"))
+    cfg = ADMMConfig(iters=iters, rho=0.1)
+
+    key = jax.random.PRNGKey(0)
+    m = jax.random.normal(key, (batch, nx, nx), jnp.float32) * 0.3
+    p = jnp.einsum("bij,bkj->bik", m, m) + 0.5 * jnp.eye(nx)
+    q0 = jax.random.normal(jax.random.PRNGKey(1), (batch, nx), jnp.float32)
+    lo = jnp.full((batch, nx), -1.5, jnp.float32)
+    hi = jnp.full((batch, nx), 1.5, jnp.float32)
+
+    xla_solve = jax.vmap(
+        lambda pp, qq, l, h, x: solve_box_qp(pp, qq, l, h, cfg, x0=x)
+    )
+
+    def make_loop(solver):
+        def body(carry, k):
+            q = q0 + 0.01 * k  # fresh linear term per step
+            sol = solver(p, q, lo, hi, carry)
+            return sol.x, None
+
+        @jax.jit
+        def loop(x_init):
+            x, _ = jax.lax.scan(body, x_init, jnp.arange(steps, dtype=jnp.float32))
+            return x
+
+        return loop
+
+    x_init = jnp.zeros((batch, nx), jnp.float32)
+    loops = {
+        "xla": make_loop(lambda p_, q_, l_, h_, x_: xla_solve(p_, q_, l_, h_, x_)),
+        "pallas": make_loop(
+            lambda p_, q_, l_, h_, x_: solve_box_qp_batch_pallas(
+                p_, q_, l_, h_, cfg, x_,
+                tile=int(os.environ.get("BENCH_TILE", "1024")),
+                unroll=bool(int(os.environ.get("BENCH_UNROLL", "1"))),
+            )
+        ),
+    }
+    # interleave repetitions: the axon tunnel + shared chip make single
+    # measurements noisy (observed 758-1020 us/step for the SAME program
+    # across processes); medians of alternating runs compare fairly
+    reps = int(os.environ.get("BENCH_REPS", "5"))
+    results, finals, walls = {}, {}, {n: [] for n in loops}
+    for name, loop in loops.items():
+        finals[name] = np.asarray(jax.block_until_ready(loop(x_init)))
+    for _ in range(reps):
+        for name, loop in loops.items():
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop(x_init))
+            walls[name].append(time.perf_counter() - t0)
+    for name in loops:
+        wall = float(np.median(walls[name]))
+        results[name] = {
+            "wall_s": round(wall, 4),
+            "us_per_step": round(wall / steps * 1e6, 1),
+            "solves_per_s": round(batch * steps / wall, 1),
+            "spread_us": [round(w / steps * 1e6, 1) for w in sorted(walls[name])],
+        }
+
+    dev = float(np.max(np.abs(finals["xla"] - finals["pallas"])))
+    print(json.dumps({
+        "batch": batch, "nx": nx, "iters": iters, "steps": steps,
+        "device": str(jax.devices()[0].device_kind),
+        "xla": results["xla"], "pallas": results["pallas"],
+        "speedup": round(results["xla"]["wall_s"] / results["pallas"]["wall_s"], 3),
+        "final_max_dev": dev,
+    }))
+    assert dev < 1e-4, f"kernel diverges from XLA path: {dev}"
+
+
+if __name__ == "__main__":
+    main()
