@@ -59,6 +59,8 @@ class MPCConfig:
     markov: str = "dag"  # prediction-matrix build: dag|doubling|assoc|scan
     qp_iters: int = 60
     qp_rho: float = 0.1
+    qp_unroll: int = 10  # ADMM-iteration scan unroll (perf, semantics-neutral)
+    qp_kkt_bf16: bool = False  # stream the KKT inverse at bf16 (see ADMMConfig)
 
 
 @dataclasses.dataclass

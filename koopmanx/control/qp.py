@@ -43,6 +43,15 @@ class ADMMConfig(NamedTuple):
     # on (nx,) vectors, so per-iteration while-loop carry copies dominate;
     # unrolling amortizes them (semantics-neutral, compile-time cost only)
     unroll: int = 10
+    # Store the per-step KKT inverse in bfloat16 (accumulation stays f32).
+    # The iteration re-reads that matrix from HBM every one of its `iters`
+    # iterations — the measured HBM-roofline term of the whole step
+    # (BENCHMARKS.md round-2 roofline study) — so halving its width halves
+    # the dominant stream. Accuracy: a bf16 KKT inverse perturbs the QP
+    # Hessian by ~0.4%, i.e. the ADMM converges to the exact solution of a
+    # ~0.4%-perturbed QP; controller-side only (the estimator is pinned at
+    # full precision elsewhere). OFF by default; enable for throughput.
+    kkt_bf16: bool = False
 
 
 def _effective_rho(p: Array, cfg: ADMMConfig) -> Array:
@@ -76,11 +85,16 @@ def solve_qp(
     sigma, alpha = cfg.sigma, cfg.alpha
     kkt = qp.P + sigma * jnp.eye(nx, dtype=dtype) + rho * qp.A.T @ qp.A
     kkt_inv = spd_inverse(kkt)
+    if cfg.kkt_bf16:
+        kkt_inv = kkt_inv.astype(jnp.bfloat16)
 
     def body(carry, _):
         x, z, y = carry
         rhs = sigma * x - qp.q + qp.A.T @ (rho * z - y)
-        xt = kkt_inv @ rhs
+        # the astype sits INSIDE the iteration body so XLA fuses the
+        # bf16->f32 convert into the matvec's operand read (the matrix is
+        # streamed from HBM at half width, accumulation stays f32)
+        xt = kkt_inv.astype(dtype) @ rhs
         axt = qp.A @ xt
         x_new = alpha * xt + (1.0 - alpha) * x
         z_mid = alpha * axt + (1.0 - alpha) * z
@@ -137,11 +151,13 @@ def solve_box_qp(
     rho = _effective_rho(p, cfg)
     sigma, alpha = cfg.sigma, cfg.alpha
     kkt_inv = spd_inverse(p + (sigma + rho) * jnp.eye(nx, dtype=dtype))
+    if cfg.kkt_bf16:
+        kkt_inv = kkt_inv.astype(jnp.bfloat16)
 
     def body(carry, _):
         x, z, y = carry
         rhs = sigma * x - q + rho * z - y
-        xt = kkt_inv @ rhs
+        xt = kkt_inv.astype(dtype) @ rhs  # bf16 stream, f32 accumulate
         x_mid = alpha * xt + (1.0 - alpha) * z
         z_new = jnp.clip(x_mid + y / rho, lo, hi)
         y_new = y + rho * (x_mid - z_new)

@@ -110,6 +110,12 @@ class EngineConfig:
     # a custom_vmap rule; single-scenario, CPU and f64 runs always take
     # the XLA path, so parity/test behavior is unchanged.
     qp_backend: str = "xla"
+    # Stream the ADMM KKT inverse from HBM in bfloat16 (f32 accumulation):
+    # halves the step's measured HBM-roofline term at a ~0.4% QP-Hessian
+    # perturbation — controller-side only, see ADMMConfig.kkt_bf16.
+    qp_kkt_bf16: bool = False
+    # lax.scan unroll for the ADMM iteration body (ADMMConfig.unroll)
+    qp_unroll: int = 10
     # Change detection / re-adaptation: when the one-step lifted residual
     # spikes above reset_mult x its running average (EMA), the plant has
     # changed — scale the RLS sufficient statistics by reset_factor
@@ -170,6 +176,8 @@ class EngineConfig:
             rho=self.qp_rho,
             sigma=self.qp_sigma,
             alpha=self.qp_alpha,
+            kkt_bf16=self.qp_kkt_bf16,
+            unroll=self.qp_unroll,
         )
 
 
@@ -181,6 +189,13 @@ class LoopCarry(NamedTuple):
     warm_x: Array  # QP primal warm start (N*m,)
     warm_y: Array  # QP dual warm start (nc,)
     res_ema: Array  # running residual average (change detection)
+    # last sane terminal certificate (P, K, gamma) — per-step DARE/LMI
+    # synthesis on a TRANSIENT estimated model can legitimately fail (a
+    # non-stabilizable A has no certificate; observed 38/1000 NaN or
+    # indefinite-P steps on the f32 revise2_vdp run, 2026-08-19): hold
+    # the previous certificate, same layering as model_guard. A scalar
+    # zeros dummy when cfg.terminal_synthesis is off.
+    cert: Any = ()
 
 
 class StepLog(NamedTuple):
@@ -204,6 +219,8 @@ class StepLog(NamedTuple):
     minus_set: Array  # z'Q_lift z - |(2 zeta)' P (zeta - (Az+Bu))| (:374)
     ellipse: Array  # C P C'/Gamma (py,py): invariant-ellipsoid section
     # matrix; host-side chol reproduces the phase-plot rings (:521-535)
+    cert_fresh: Array  # bool: this step's synthesis passed the guard (a
+    # False marks a held-over certificate; all-True when synthesis is off)
 
 
 def _tree_finite(tree) -> Array:
@@ -326,6 +343,23 @@ def make_closed_loop(
                 cert_p = cert.p
                 cert_k = -cert.k  # dlqr returns u = -K z; flip to ref convention
                 cert_gamma = cert.gamma
+            # ---- certificate guard: a transiently non-stabilizable
+            # estimated model has NO certificate (f32 DARE doubling / LMI
+            # barrier then returns NaN or an indefinite P). Hold the last
+            # sane (P, K, gamma) instead of poisoning the terminal weight
+            # and the Revise_2 monitor series. ----
+            psi_anchor = dictionary(x - ref_full)
+            v_anchor = psi_anchor @ cert_p @ psi_anchor
+            cert_ok = (
+                _tree_finite((cert_p, cert_k, cert_gamma))
+                & (v_anchor >= 0)
+                & (cert_gamma > 0)
+            )
+            prev_p, prev_k, prev_gamma = carry.cert
+            cert_p = jnp.where(cert_ok, cert_p, prev_p)
+            cert_k = jnp.where(cert_ok, cert_k, prev_k)
+            cert_gamma = jnp.where(cert_ok, cert_gamma, prev_gamma)
+            new_cert = (cert_p, cert_k, cert_gamma)
             if cfg.track_lifted:
                 # lifted tracking injects the FULL P — the tracked output
                 # is z itself so the output map is the identity
@@ -343,6 +377,8 @@ def make_closed_loop(
             cert_gamma = None
             ref_full = None
             c_for_term = None
+            new_cert = carry.cert
+            cert_ok = jnp.asarray(True)
 
         qbar = weight_bar(params.q_block, horizon, terminal)
         rbar = jnp.kron(
@@ -646,6 +682,7 @@ def make_closed_loop(
             warm_x=warm_x,
             warm_y=sol.y,
             res_ema=res_ema,
+            cert=new_cert,
         )
         log = StepLog(
             x=x,
@@ -665,6 +702,7 @@ def make_closed_loop(
             compare_state=compare_state,
             minus_set=minus_set,
             ellipse=ellipse,
+            cert_fresh=cert_ok,
         )
         return new_carry, log
 
@@ -693,6 +731,23 @@ def make_closed_loop(
         if cfg.state_bounds and params.x_min is not None:
             nc += params.x_min.shape[0]
         if carry0 is None:
+            if cfg.terminal_synthesis:
+                nl = dictionary.nlift
+                p_seed = (
+                    params.q_lift
+                    if params.q_lift is not None
+                    else jnp.eye(nl, dtype=dtype)
+                )
+                # conservative pre-synthesis seed: P = Q_lift (the DARE
+                # iterate's own starting point), K = 0, gamma = 1; the
+                # first guard-passing synthesis replaces it
+                cert0 = (
+                    jnp.asarray(p_seed, dtype),
+                    jnp.zeros((m, nl), dtype),
+                    jnp.ones((), dtype),
+                )
+            else:
+                cert0 = ()
             carry0 = LoopCarry(
                 x=x0,
                 u_applied=jnp.zeros((m,), dtype) if u0 is None else u0,
@@ -701,6 +756,7 @@ def make_closed_loop(
                 warm_x=jnp.zeros((n_dec,), dtype),
                 warm_y=jnp.zeros((nc,), dtype),
                 res_ema=jnp.zeros((), dtype),
+                cert=cert0,
             )
 
         def body(carry, step):

@@ -32,7 +32,10 @@ def main():
     nx = int(os.environ.get("BENCH_NX", "20"))
     iters = int(os.environ.get("BENCH_ITERS", "60"))
     steps = int(os.environ.get("BENCH_STEPS", "50"))
-    cfg = ADMMConfig(iters=iters, rho=0.1)
+    cfg = ADMMConfig(
+        iters=iters, rho=0.1,
+        kkt_bf16=bool(int(os.environ.get("BENCH_KKT_BF16", "0"))),
+    )
 
     key = jax.random.PRNGKey(0)
     m = jax.random.normal(key, (batch, nx, nx), jnp.float32) * 0.3
@@ -98,7 +101,11 @@ def main():
         "speedup": round(results["xla"]["wall_s"] / results["pallas"]["wall_s"], 3),
         "final_max_dev": dev,
     }))
-    assert dev < 1e-4, f"kernel diverges from XLA path: {dev}"
+    # with a bf16 KKT stream the XLA path solves a ~0.4%-perturbed QP while
+    # the Pallas kernel stays f32 — the comparison then only bounds that
+    # perturbation instead of asserting bit-level agreement
+    tol = 3e-2 if cfg.kkt_bf16 else 1e-4
+    assert dev < tol, f"kernel diverges from XLA path: {dev}"
 
 
 if __name__ == "__main__":
