@@ -322,3 +322,49 @@ def test_revise2_duffing_monitor_series_match_formulas():
         z_next = np.asarray(d(jnp.asarray(x_next)))
         eps_op = np.linalg.norm(z_next - z_pred) / np.linalg.norm(z)
         assert float(np.asarray(log.eps_op)[k]) == pytest.approx(eps_op, rel=1e-6)
+
+
+def test_certificate_guard_holds_on_synthesis_failure():
+    """A NaN initial model makes the per-step DARE synthesis fail: the
+    certificate guard must hold the seed certificate (P = Q_lift, K = 0)
+    instead of poisoning the Lyapunov/monitor series, and mark the step
+    cert_fresh = False."""
+    cfg = small_duffing_cfg(steps=8)
+    cfg.mpc.terminal_synthesis = True
+    cfg.update = C.UpdateConfig(mode="off")  # freeze the broken model
+    pipe = build_pipeline(cfg)
+    bad_model = pipe.model0._replace(
+        A=pipe.model0.A.at[0, 0].set(jnp.nan)
+    )
+    _, log = run_single(pipe._replace(model0=bad_model))
+    fresh = np.asarray(log.cert_fresh)
+    assert not fresh.any()  # synthesis never recovers on a frozen NaN model
+    # monitors stay finite on the held seed certificate
+    assert np.isfinite(np.asarray(log.lyapunov)).all()
+    assert np.isfinite(np.asarray(log.gamma)).all()
+
+
+def test_certificate_guard_passes_on_healthy_model():
+    cfg = small_duffing_cfg(steps=12)
+    cfg.mpc.terminal_synthesis = True
+    pipe = build_pipeline(cfg)
+    _, log = run_single(pipe)
+    fresh = np.asarray(log.cert_fresh)
+    # the warm-started batch-EDMD model is stabilizable from step 0
+    assert fresh.all()
+    assert np.isfinite(np.asarray(log.lyapunov)).all()
+
+
+def test_qp_kkt_bf16_solution_close():
+    """The bf16 KKT stream solves a ~0.4%-perturbed QP: the closed loop
+    must stay finite and track within a small deviation of the f32 run."""
+    cfg = small_duffing_cfg(steps=30, dtype="float32")
+    pipe32 = build_pipeline(cfg)
+    cfg16 = small_duffing_cfg(steps=30, dtype="float32")
+    cfg16.mpc.qp_kkt_bf16 = True
+    pipe16 = build_pipeline(cfg16)
+    _, log32 = run_single(pipe32)
+    _, log16 = run_single(pipe16)
+    x32, x16 = np.asarray(log32.x), np.asarray(log16.x)
+    assert np.isfinite(x16).all()
+    assert np.max(np.abs(x32 - x16)) < 0.05
