@@ -47,6 +47,8 @@ def main():
     prec = os.environ.get("PRECISION")
     if prec:
         cfg.matmul_precision = prec
+    if os.environ.get("QP_ITERS"):
+        cfg.mpc.qp_iters = int(os.environ["QP_ITERS"])
     pipe = build_pipeline(cfg)
 
     t0 = time.perf_counter()
