@@ -238,7 +238,18 @@ def make_box_qp_solver(cfg: ADMMConfig, backend: str = "xla"):
     sequential grid cell per scenario). Falls back to ``vmap(solve_box_qp)``
     off-TPU or at f64, keeping the CPU test mesh and f64 parity paths on
     the reference XLA implementation.
+
+    ``backend='xla'`` (the default) returns a PLAIN closure over
+    ``solve_box_qp`` with no custom_vmap wrapper: ``jax.custom_batching``
+    has no reverse-mode rule, and the default engine must stay
+    differentiable end-to-end (gradient-through-the-closed-loop tuning,
+    ``examples/tune_weights.py``).
     """
+    if backend != "pallas":
+        def solve_plain(p, q, lo, hi, x0, y0):
+            return solve_box_qp(p, q, lo, hi, cfg, x0=x0, y0=y0)
+
+        return solve_plain
 
     @jax.custom_batching.custom_vmap
     def solve(p, q, lo, hi, x0, y0):

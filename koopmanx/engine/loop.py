@@ -156,6 +156,12 @@ class EngineConfig:
     # lax.scan unroll factor for the time loop: >1 amortizes while-loop
     # carry copies over multiple steps at the cost of compile time.
     unroll: int = 1
+    # Rematerialize each step under autodiff (jax.checkpoint): grad through
+    # an S-step closed loop then stores only the S carries instead of every
+    # intermediate of every step — the standard FLOPs-for-HBM trade that
+    # makes reference-length (1000+ step) differentiation fit on a chip.
+    # No effect on forward-only runs.
+    remat: bool = False
     # Matmul precision for the CONTROLLER side of the step (encode, QP
     # build, ADMM). TPU f32 matmuls default to single-pass bf16
     # approximations; that default silently corrupted the online
@@ -761,6 +767,9 @@ def make_closed_loop(
 
         def body(carry, step):
             return one_step(params, carry, step, theta_sched)
+
+        if cfg.remat:
+            body = jax.checkpoint(body)
 
         with jax.default_matmul_precision(cfg.matmul_precision):
             return jax.lax.scan(

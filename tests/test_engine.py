@@ -368,3 +368,42 @@ def test_qp_kkt_bf16_solution_close():
     x32, x16 = np.asarray(log32.x), np.asarray(log16.x)
     assert np.isfinite(x16).all()
     assert np.max(np.abs(x32 - x16)) < 0.05
+
+
+def test_grad_flows_through_closed_loop():
+    """The whole closed loop (encode -> QP build -> fixed-iteration ADMM ->
+    plant -> RLS) is reverse-mode differentiable w.r.t. the controller
+    weights, with and without per-step rematerialization (cfg.remat)."""
+    import dataclasses
+
+    for remat in (False, True):
+        cfg = small_duffing_cfg(steps=40, dtype="float32")
+        pipe = build_pipeline(cfg)
+        closed_loop = pipe.closed_loop
+        if remat:
+            from koopmanx.engine.loop import make_closed_loop
+            # rebuild with remat on (EngineConfig is frozen)
+            ecfg = dataclasses.replace(pipe.engine_cfg, remat=True)
+            from koopmanx.systems import get_system as _gs
+            closed_loop = make_closed_loop(
+                _gs(cfg.system), pipe.dictionary, ecfg,
+                _ref_fn_of(pipe, cfg),
+            )
+
+        def loss(log_r):
+            p = pipe.params._replace(
+                r_block=jnp.exp(log_r) * jnp.eye(1, dtype=jnp.float32)
+            )
+            _, log = closed_loop(p, pipe.x_init, pipe.model0, pipe.rls0)
+            return jnp.mean((log.x[:, 0] - log.r[:, 0]) ** 2)
+
+        g = jax.grad(loss)(jnp.asarray(0.0, jnp.float32))
+        assert np.isfinite(float(g))
+        assert float(jnp.abs(g)) > 0.0, "zero gradient: graph disconnected"
+
+
+def _ref_fn_of(pipe, cfg):
+    from koopmanx.run import _ref_fn
+    return _ref_fn(
+        cfg, pipe.dictionary, pipe.params.q_block.shape[0], jnp.float32
+    )
