@@ -45,6 +45,7 @@ def main():
     cfg.unroll = int(os.environ.get("BENCH_UNROLL", "4"))
     cfg.mpc.qp_unroll = int(os.environ.get("BENCH_QP_UNROLL", "10"))
     cfg.mpc.qp_iters = int(os.environ.get("BENCH_QP_ITERS", str(cfg.mpc.qp_iters)))
+    cfg.mpc.qp_backend = os.environ.get("BENCH_QP_BACKEND", "xla")
     cfg.mpc.qp_kkt_bf16 = bool(int(os.environ.get("BENCH_KKT_BF16", "0")))
     prec = os.environ.get("BENCH_PRECISION")
     if prec:

@@ -61,6 +61,7 @@ class MPCConfig:
     qp_rho: float = 0.1
     qp_unroll: int = 10  # ADMM-iteration scan unroll (perf, semantics-neutral)
     qp_kkt_bf16: bool = False  # stream the KKT inverse at bf16 (see ADMMConfig)
+    qp_backend: str = "xla"  # 'xla' | 'pallas' (VMEM-resident box-ADMM kernel)
 
 
 @dataclasses.dataclass

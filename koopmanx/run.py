@@ -345,6 +345,7 @@ def _build_pipeline_on_host(cfg: C.RunConfig, x_init=None) -> Pipeline:
         qp_rho=cfg.mpc.qp_rho,
         qp_unroll=cfg.mpc.qp_unroll,
         qp_kkt_bf16=cfg.mpc.qp_kkt_bf16,
+        qp_backend=cfg.mpc.qp_backend,
         terminal_synthesis=cfg.mpc.terminal_synthesis,
         terminal_mode=cfg.mpc.terminal_mode,
         state_bounds=cfg.mpc.state_bounds is not None,
