@@ -61,7 +61,11 @@ class MPCConfig:
     qp_rho: float = 0.1
     qp_unroll: int = 10  # ADMM-iteration scan unroll (perf, semantics-neutral)
     qp_kkt_bf16: bool = False  # stream the KKT inverse at bf16 (see ADMMConfig)
-    qp_backend: str = "xla"  # 'xla' | 'pallas' (VMEM-resident box-ADMM kernel)
+    # 'xla' | 'pallas'. 'pallas' (VMEM-resident box-ADMM kernel) is
+    # EXPERIMENTAL: parity-tested but measured SLOWER than the fused-XLA
+    # path at production shapes (BENCHMARKS.md "Fused-kernel study") —
+    # keep 'xla' unless re-measuring on new hardware/shapes.
+    qp_backend: str = "xla"
 
 
 @dataclasses.dataclass

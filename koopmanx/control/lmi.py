@@ -110,6 +110,52 @@ def _build_lmis(
     return gamma, q1, x1, y1, lmi0, lmi1, lmi2, input_slack
 
 
+def _lmi_feasibility(
+    a: Array,
+    b: Array,
+    sqrt_q: Array,
+    sqrt_r: Array,
+    psi: Array,
+    u_max,
+    gamma: Array,
+    p: Array,
+    k: Array,
+) -> Array:
+    """Max violation of the REFERENCE's LMI set at a candidate (gamma,P,K),
+    mapped back to the YALMIP variables via ``Q1 = gamma P^{-1}``,
+    ``Y1 = K Q1``, Schur-minimal ``X1 = gamma K P^{-1} K'``
+    (jax twin of :func:`koopmanx.eval.sdp_oracle.check_reference_lmis`).
+    <= 0 means certified feasible."""
+    nlift = a.shape[-1]
+    m = b.shape[-1]
+    dtype = a.dtype
+    p_inv = spd_inverse(p, eps=1e-9)
+    q1 = _sym(gamma * p_inv)
+    y1 = k @ q1
+    x1 = _sym(gamma * (k @ (p_inv @ k.T)))
+    lmi0 = jnp.block([[x1, y1], [y1.T, q1]])
+    lmi1 = jnp.block(
+        [[jnp.ones((1, 1), dtype), psi[None, :]], [psi[:, None], q1]]
+    )
+    aq_by = a @ q1 + b @ y1
+    z_nn = jnp.zeros((nlift, nlift), dtype)
+    z_nm = jnp.zeros((nlift, m), dtype)
+    lmi2 = jnp.block(
+        [
+            [q1, aq_by.T, (sqrt_q @ q1).T, (sqrt_r @ y1).T],
+            [aq_by, q1, z_nn, z_nm],
+            [sqrt_q @ q1, z_nn, gamma * jnp.eye(nlift, dtype=dtype), z_nm],
+            [sqrt_r @ y1, z_nm.T, z_nm.T, gamma * jnp.eye(m, dtype=dtype)],
+        ]
+    )
+    return jnp.maximum(
+        jnp.maximum(-_min_eig(lmi0), -_min_eig(lmi1)),
+        jnp.maximum(
+            -_min_eig(lmi2), jnp.max(jax.nn.relu(jnp.diag(x1) - u_max**2))
+        ),
+    )
+
+
 def solve_terminal_lmi(
     model: LinearModel,
     q_lift: Array,
@@ -121,20 +167,48 @@ def solve_terminal_lmi(
     penalty: float = 1e3,
     margin: float = 1e-2,
     lyapunov_correct: bool = True,
+    method: str = "auto",
+    detune_grid: int = 12,
+    detune_bisect: int = 12,
 ) -> LMIResult:
     """Solve the Revise_2 terminal LMI for the current model.
 
     ``psi`` is the lifted tracking error ``liftFun(x - r)``
-    (Revise_2/Koopman_update.m:331). Fixed-iteration Adam on
-    ``gamma + penalty * (PSD violations)``; warm start from the DARE pair.
+    (Revise_2/Koopman_update.m:331).
 
-    With ``lyapunov_correct`` (default) the returned ``P`` is re-derived
-    from the solved gain ``K`` via the exact discrete Lyapunov equation
-    ``P = (A+BK)' P (A+BK) + Q + K'RK`` — the decrease certificate then
-    holds *by construction* (the penalized program's small residual PSD
-    violations would otherwise be amplified by ``inv(Q1)``), and ``gamma``
-    is lifted to cover the anchor: ``gamma = max(gamma, psi' P psi)``.
+    ``method='auto'`` (default, production): exploit the analytic structure
+    of the SDP (Kothare, Balakrishnan & Morari 1996 — proof in
+    ``koopmanx/eval/sdp_oracle.py``):
+
+      * whenever the input-bound row is SLACK at the DARE point, the exact
+        optimum is ``(P, K, gamma*) = (P_dare, K_dare, psi' P_dare psi)`` —
+        return it directly (the reference *minimizes* gamma,
+        Revise_2/Koopman_update.m:355; the previous penalized solve was up
+        to 3x conservative here);
+      * when the bound BINDS, sweep the R-detuned DARE family
+        ``(P_s, K_s) = dare(A, B, Q, s R)``, ``s >= 1``: every member
+        satisfies the decrease LMI for the ORIGINAL (Q, R) — the
+        closed-loop Lyapunov identity gives
+        ``Acl' P_s Acl - P_s + Q + K_s' R K_s = -(s-1) K_s' R K_s <= 0`` —
+        and larger ``s`` shrinks the gain until the input bound certifies.
+        A geometric grid (``2^1 .. 2^detune_grid``) picks the first
+        feasible ``s``, then ``detune_bisect`` geometric-bisection steps
+        polish it down (gamma_s is increasing in s). Branch-free,
+        vmappable, ~20 doubling-DARE solves — far cheaper than the
+        penalized eigen-barrier.
+
+    ``method='penalized'``: the original fixed-iteration Adam on
+    ``gamma + penalty * (PSD eigenvalue violations)``, warm-started from
+    the DARE pair — kept for Revise_2-parity experiments and as an
+    independent cross-check. With ``lyapunov_correct`` (default) its
+    returned ``P`` is re-derived from the solved gain via the exact
+    discrete Lyapunov equation and any input-bound violation is folded
+    into the feasibility residual.
     """
+    if method == "auto":
+        return _solve_detuned_dare(
+            model, q_lift, r, psi, u_max, detune_grid, detune_bisect
+        )
     a, b = model.A, model.B
     nlift = a.shape[-1]
     m = b.shape[-1]
@@ -221,3 +295,87 @@ def solve_terminal_lmi(
         q1=q1,
         feasibility=feas,
     )
+
+
+def _solve_detuned_dare(
+    model: LinearModel,
+    q_lift: Array,
+    r: Array,
+    psi: Array,
+    u_max,
+    grid: int,
+    bisect: int,
+) -> LMIResult:
+    """`method='auto'` body — see :func:`solve_terminal_lmi` docstring."""
+    a, b = model.A, model.B
+    nlift = a.shape[-1]
+    dtype = a.dtype
+    r_mat = jnp.atleast_2d(jnp.asarray(r, dtype))
+    q_mat = q_lift if q_lift.ndim == 2 else jnp.diag(q_lift)
+    # sqrtm of the (diagonal) Revise_2 Q_lift = elementwise sqrt on the diag
+    sqrt_q = jnp.where(
+        jnp.eye(nlift, dtype=bool), jnp.sqrt(jnp.maximum(q_mat, 0.0)), 0.0
+    )
+    sqrt_r = jnp.sqrt(r_mat)
+    # tiny relative lift turns the LMI1/LMI2 equalities at the DARE point
+    # into strict feasibility (roundoff headroom for the certificate check)
+    lift = jnp.asarray(1.0 + 1e-6, dtype)
+
+    def candidate(s):
+        """(P_s, K_s, gamma_s, input-bound ok) for the R-detuned DARE."""
+        p_s = solve_dare_doubling(a, b, q_mat, s * r_mat)
+        k_s = -dlqr_gain(a, b, q_mat, s * r_mat, p_s)  # u = K z convention
+        g_s = (psi @ p_s @ psi) * lift
+        x1_diag = g_s * jnp.diag(k_s @ (spd_inverse(p_s, eps=1e-9) @ k_s.T))
+        finite = jnp.all(jnp.isfinite(p_s)) & jnp.all(jnp.isfinite(k_s))
+        ok = jnp.all(x1_diag <= u_max**2) & finite & (g_s >= 0)
+        return p_s, k_s, g_s, ok
+
+    # exact-optimum fast path: DARE point with the input bound slack
+    p0, k0, g0, ok0 = candidate(jnp.asarray(1.0, dtype))
+
+    # geometric grid s = 2^1 .. 2^grid for the binding case
+    s_grid = jnp.asarray(2.0, dtype) ** jnp.arange(1, grid + 1, dtype=dtype)
+
+    def grid_body(_, s):
+        p_s, k_s, g_s, ok = candidate(s)
+        return None, (p_s, k_s, g_s, ok)
+
+    _, (ps, ks, gs, oks) = jax.lax.scan(grid_body, None, s_grid)
+    any_ok = jnp.any(oks)
+    # first feasible s (argmax returns the first True); fall back to the
+    # largest s when none certifies (genuinely input-infeasible anchor)
+    idx = jnp.where(any_ok, jnp.argmax(oks), grid - 1)
+    s_hi = s_grid[idx]
+    p_hi, k_hi, g_hi = ps[idx], ks[idx], gs[idx]
+
+    # geometric bisection on [s_hi/2, s_hi]: gamma_s increases with s, so
+    # shaving s toward the smallest feasible value minimizes gamma
+    def bisect_body(carry, _):
+        lo, hi, p_b, k_b, g_b = carry
+        mid = jnp.sqrt(lo * hi)
+        p_m, k_m, g_m, ok = candidate(mid)
+        hi_n = jnp.where(ok, mid, hi)
+        lo_n = jnp.where(ok, lo, mid)
+        p_n = jnp.where(ok, p_m, p_b)
+        k_n = jnp.where(ok, k_m, k_b)
+        g_n = jnp.where(ok, g_m, g_b)
+        return (lo_n, hi_n, p_n, k_n, g_n), None
+
+    (_, _, p_b, k_b, g_b), _ = jax.lax.scan(
+        bisect_body, (s_hi * 0.5, s_hi, p_hi, k_hi, g_hi), None,
+        length=bisect,
+    )
+    # select: exact optimum when slack at DARE; else the polished detuned
+    # pair when any certifies; else the max-detune candidate (violation
+    # surfaces in the feasibility residual below)
+    use_det = jnp.logical_and(~ok0, any_ok)
+    p_out = jnp.where(ok0, p0, jnp.where(use_det, p_b, p_hi))
+    k_out = jnp.where(ok0, k0, jnp.where(use_det, k_b, k_hi))
+    gamma = jnp.where(ok0, g0, jnp.where(use_det, g_b, g_hi))
+
+    feas = _lmi_feasibility(
+        a, b, sqrt_q, sqrt_r, psi, u_max, gamma, p_out, k_out
+    )
+    q1 = _sym(gamma * spd_inverse(p_out, eps=1e-9))
+    return LMIResult(p=p_out, k=k_out, gamma=gamma, q1=q1, feasibility=feas)

@@ -14,7 +14,7 @@ the MATLAB-side tooling (L8 interchange).
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -63,15 +63,31 @@ def fit(
     resume: bool = False,
     log_every: int = 1,
     verbose: bool = True,
+    optimizer=None,
+    eval_callback: Optional[Callable[[KMAEState, int], float]] = None,
+    eval_every: int = 5,
 ):
     """Train θ_E/θ_D on trajectory-major snapshots.
 
     Returns (state, history) where history is a list of per-epoch dicts.
+
+    ``optimizer`` — any optax GradientTransformation (e.g. adam on a cosine
+    schedule); defaults to the reference's constant-lr Adam
+    (DeepLearning_KoopmanControl_Approach3.py:58).
+
+    ``eval_callback(state, epoch) -> score`` — run every ``eval_every``
+    epochs (and after the last); the state with the LOWEST score is the one
+    returned (best-checkpoint selection on a validation metric — e.g. the
+    downstream open-loop RMSE — instead of last-epoch weights). The scores
+    land in history as ``val_score``.
     """
     n = data.x.shape[-1]
     key = jax.random.PRNGKey(seed)
     k_init, k_shuffle = jax.random.split(key)
-    state = init_state(k_init, cfg, n=n, nlift=nlift, hidden=hidden, dtype=dtype)
+    state = init_state(
+        k_init, cfg, n=n, nlift=nlift, hidden=hidden, dtype=dtype,
+        optimizer=optimizer,
+    )
     start_epoch = 0
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
         state, start_epoch = load_checkpoint(checkpoint_path, state)
@@ -82,7 +98,7 @@ def fit(
     x_win, u_win = make_windows(x_snap, y_snap, u_snap, n_step, cfg.pred_horizon)
     n_win = x_win.shape[0]
 
-    train_step, _ = make_train_step(cfg)
+    train_step, _ = make_train_step(cfg, optimizer=optimizer)
     # two jitted variants (rec_only is a python bool branching the loss)
     step_full = jax.jit(
         lambda s, xw, uw: train_step(s, x_snap, y_snap, u_snap, xw, uw, False)
@@ -93,6 +109,21 @@ def fit(
 
     steps_per_epoch = max(1, n_win // batch_windows)
     history = []
+    best_state, best_score = None, float("inf")
+
+    def maybe_eval(epoch, rec):
+        nonlocal best_state, best_score
+        if eval_callback is None:
+            return
+        score = float(eval_callback(state, epoch))
+        rec["val_score"] = score
+        if score < best_score:
+            best_score, best_state = score, state
+            rec["val_best"] = True
+        if verbose:
+            print(f"  [val] epoch {epoch}: score={score:.5g} "
+                  f"(best {best_score:.5g})")
+
     for epoch in range(start_epoch, cfg.epochs):
         rec_only = (
             cfg.rec_only_after_epoch is not None
@@ -116,17 +147,21 @@ def fit(
             "l_pred": float(aux["l_pred"]),
             "rec_only": rec_only,
         }
-        history.append(rec)
         if verbose and epoch % log_every == 0:
             print(
                 f"epoch {epoch}: loss={rec['loss']:.4f} "
                 f"(rec {rec['l_rec']:.4f} lin {rec['l_lin']:.4f} "
                 f"pred {rec['l_pred']:.4f}){' [rec-only]' if rec_only else ''}"
             )
+        if (epoch + 1) % eval_every == 0 or epoch == cfg.epochs - 1:
+            maybe_eval(epoch, rec)
+        history.append(rec)
         if checkpoint_path and (epoch + 1) % checkpoint_every == 0:
             save_checkpoint(checkpoint_path, state, epoch + 1)
     if checkpoint_path:
         save_checkpoint(checkpoint_path, state, cfg.epochs)
+    if best_state is not None:
+        return best_state, history
     return state, history
 
 

@@ -38,6 +38,18 @@ def main():
     ap.add_argument("--n-traj", type=int, default=100)
     ap.add_argument("--batch-windows", type=int, default=94,
                     help="94 -> ~100 optimizer steps/epoch like the reference")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--cosine-final", type=float, default=None,
+                    help="if set, cosine-decay lr to lr*THIS over training")
+    ap.add_argument("--rec-only-after", type=str, default="5",
+                    help="'none' keeps the full loss throughout")
+    ap.add_argument("--val-select", action="store_true",
+                    help="pick the checkpoint with the best open-loop RMSE "
+                         "on a held-out validation rollout (PRNGKey(3) — "
+                         "distinct from the PRNGKey(2) test rollout)")
+    ap.add_argument("--eval-every", type=int, default=5)
+    ap.add_argument("--tag", default="refscale")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -52,6 +64,8 @@ def main():
     from koopmanx.train.kmae import KMAEConfig
     from koopmanx.train.trainer import evaluate, export_weights, fit
 
+    import optax
+
     system = get_system(args.system)
     # training data: the reference's 100x100 protocol (data_generate.py:17-79)
     data = collect(
@@ -59,11 +73,57 @@ def main():
         n_step=args.n_step, n_traj=args.n_traj,
     )
     n_snap = data.x.shape[0]
-    cfg = KMAEConfig(pred_horizon=args.pred_horizon, epochs=args.epochs)
+    rec_only_after = (
+        None if args.rec_only_after.lower() == "none"
+        else int(args.rec_only_after)
+    )
+    cfg = KMAEConfig(
+        pred_horizon=args.pred_horizon, epochs=args.epochs, lr=args.lr,
+        rec_only_after_epoch=rec_only_after,
+    )
+    optimizer = None
+    if args.cosine_final is not None:
+        n_win = args.n_traj * (args.n_step - args.pred_horizon)
+        total_steps = args.epochs * max(1, n_win // args.batch_windows)
+        sched = optax.cosine_decay_schedule(
+            args.lr, total_steps, alpha=args.cosine_final
+        )
+        optimizer = optax.adam(sched)
+
+    # host-CPU EDMD-fit + open-loop replay (see precision note below) —
+    # shared by the in-training validation callback and the final report
+    host = jax.local_devices(backend="cpu")[0]
+
+    def openloop_rmse_host(dictionary, data_h, rollout):
+        with jax.default_device(host):
+            mu, sc = fit_normalizer(dictionary, data_h.x)
+            d = normalized(dictionary, mu, sc)
+            model = edmd_fit(d, data_h, method="pinv")
+            res = openloop_validate(
+                model, d, rollout.x, rollout.u, reencode_every=0
+            )
+            return float(res.rmse_ref), float(res.rmse)
+
+    eval_callback = None
+    data_h = jax.device_put(data, host)
+    if args.val_select:
+        with jax.default_device(host):
+            val_sel = collect(
+                system, jax.random.PRNGKey(3), n_step=500, n_traj=1
+            )
+
+        def eval_callback(state, epoch):
+            enc = jax.device_put(state.params.encoder, host)
+            d = encoder_dictionary(enc, n=system.n)
+            rmse_ref, _ = openloop_rmse_host(d, data_h, val_sel)
+            return rmse_ref if np.isfinite(rmse_ref) else 1e9
+
     t0 = time.perf_counter()
     state, history = fit(
         data, n_step=args.n_step, cfg=cfg, nlift=8, hidden=100,
-        batch_windows=args.batch_windows, seed=0,
+        batch_windows=args.batch_windows, seed=args.seed,
+        optimizer=optimizer, eval_callback=eval_callback,
+        eval_every=args.eval_every,
     )
     train_wall = time.perf_counter() - t0
 
@@ -75,7 +135,7 @@ def main():
 
     prefix = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "artifacts", f"{args.system}_kmae_refscale",
+        "artifacts", f"{args.system}_kmae_{args.tag}",
     )
     export_weights(state, prefix)
 
@@ -84,39 +144,37 @@ def main():
     # the TPU's reduced-precision matmul passes and inaccurate SVD/pinv
     # custom calls produce marginally-unstable A's whose 500-step free run
     # explodes (the documented 2026-08-18 failure mode, BENCHMARKS.md)
-    host = jax.local_devices(backend="cpu")[0]
     with jax.default_device(host):
         val = collect(
             system, jax.random.PRNGKey(2), n_step=500, n_traj=1,
         )
-        data_h = jax.device_put(data, host)
-
-        def openloop_rmse(dictionary):
-            d = dictionary
-            mu, sc = fit_normalizer(d, data_h.x)
-            d = normalized(d, mu, sc)
-            model = edmd_fit(d, data_h, method="pinv")
-            res = openloop_validate(model, d, val.x, val.u, reencode_every=0)
-            return float(res.rmse_ref), float(res.rmse)
 
         results = {}
         trained_dict = encoder_dictionary(
             jax.device_put(state.params.encoder, host), n=system.n
         )
-        results["kmae_refscale"] = openloop_rmse(trained_dict)
+        results["kmae_" + args.tag] = openloop_rmse_host(
+            trained_dict, data_h, val
+        )
         ref_mat = "/root/reference/Revise_2/duffing_weights.mat" \
             if args.system == "duffing" else \
             "/root/reference/VDP_Revise_2/Good_VDP.mat"
         if os.path.exists(ref_mat):
             ref_params = load_mat_mlp(ref_mat, dtype=jnp.float32)
-            results["reference_encoder"] = openloop_rmse(
-                encoder_dictionary(ref_params, n=system.n)
+            results["reference_encoder"] = openloop_rmse_host(
+                encoder_dictionary(ref_params, n=system.n), data_h, val
             )
 
     print(json.dumps({
         "system": args.system,
+        "tag": args.tag,
         "snapshots": int(n_snap),
         "epochs": args.epochs,
+        "seed": args.seed,
+        "lr": args.lr,
+        "cosine_final": args.cosine_final,
+        "rec_only_after": rec_only_after,
+        "val_select": bool(args.val_select),
         "pred_horizon": args.pred_horizon,
         "steps_per_epoch": max(
             1, args.n_traj * (args.n_step - args.pred_horizon) // args.batch_windows
