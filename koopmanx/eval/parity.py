@@ -442,6 +442,7 @@ def tank_closed_loop_oracle(
     switch_step: int = 100,
     update: bool = True,
     rls_init: float = 1e4,
+    rls_state0=None,
 ):
     """Tank_System.m's serve loop in NumPy f64: Δu-augmented condensed QP
     (prediction matrices via the explicit power loops, :129-144), exact
@@ -453,6 +454,10 @@ def tank_closed_loop_oracle(
 
     Data/RNG streams are NOT MATLAB's (rng(55) is not replicable in
     NumPy); parity is engine-vs-oracle on identical inputs, not vs MATLAB.
+
+    ``rls_state0`` — optional ``(k_a, inv_g, bar_x, bar_q)`` warm start
+    (e.g. from the batch Grams, the Revise_2/Koopman_update.m:264-265
+    protocol) replacing the scaled-identity scratch init.
     """
     from . import oracle as _oracle
 
@@ -465,10 +470,15 @@ def tank_closed_loop_oracle(
     a, b, c = a0.copy(), b0.copy(), c0.copy()
     x = np.zeros(2)
     u0 = np.zeros(1)
-    k_a = np.zeros((nlift, nlift + m))
-    inv_g = rls_init * np.eye(nlift + m)
-    bar_x = np.zeros((n, nlift))
-    bar_q = rls_init * np.eye(nlift)
+    if rls_state0 is not None:
+        k_a, inv_g, bar_x, bar_q = (
+            np.array(v, dtype=np.float64) for v in rls_state0
+        )
+    else:
+        k_a = np.zeros((nlift, nlift + m))
+        inv_g = rls_init * np.eye(nlift + m)
+        bar_x = np.zeros((n, nlift))
+        bar_q = rls_init * np.eye(nlift)
     log_x, log_u = [], []
     qbar = q_weight * np.eye(horizon)
     rbar = r_weight * np.eye(horizon)

@@ -404,3 +404,88 @@ def test_tank_delta_u_parity():
     # both settle at r=1 on the tracked level
     assert abs(x_ours[-10:, 1].mean() - 1.0) < 0.05
     assert abs(log_x_o[-10:, 1].mean() - 1.0) < 0.05
+
+
+def test_tank_delta_u_parity_warmstarted_tight():
+    """Gate 5d (VERDICT r2 item 4): the Tank Δu loop pinned at exact-QP
+    tightness. The scratch-RLS gate above measures solver-path sensitivity
+    during the chaotic warm-up; HERE both the oracle's and the engine's
+    RLS are warm-started from the SAME batch Grams
+    (Revise_2/Koopman_update.m:264-265 protocol), so the estimates stay
+    sane from step 0 and the Δu path must match like the Duffing/VDP
+    exact-QP gates do (reference loop: Tank_System.m:107-290)."""
+    from koopmanx.edmd.batch import gram_stats, lift_snapshots
+    from koopmanx.edmd.rls import rls_init_from_grams
+    from koopmanx.engine.loop import EngineConfig, MPCParams, make_closed_loop
+    from koopmanx.lifts import rbf_dictionary
+    from koopmanx.systems import TANK, collect
+
+    data = collect(
+        TANK,
+        jax.random.PRNGKey(5),
+        n_step=40,
+        n_traj=40,
+        u_range=(-5.0, 5.0),
+        clamp_x0=True,
+        dtype=jnp.float64,
+    )
+    centers = jax.random.uniform(jax.random.PRNGKey(6), (10, 2), dtype=jnp.float64)
+    d = rbf_dictionary(centers, "thinplate")
+    model0 = edmd_fit(d, data, method="pinv")
+    a0, b0, c0 = (np.asarray(model0.A), np.asarray(model0.B), np.asarray(model0.C))
+
+    zx, zy = lift_snapshots(d, data)
+    stats = gram_stats(zx, zy, data.u, data.x)
+    rls0 = rls_init_from_grams(stats)
+
+    def lift_np(x):
+        return np.asarray(d(jnp.asarray(x, dtype=jnp.float64)))
+
+    # 120 steps: the Gram warm start carries 1600 snapshots of inertia,
+    # so the level settles slower than the scratch loop — but stays
+    # solver-tight the whole way
+    steps = 120
+    log_x_o, log_u_o = parity.tank_closed_loop_oracle(
+        lift_np, a0, b0, c0, steps=steps, switch_step=10**9,
+        rls_state0=(rls0.K_A, rls0.invG, rls0.barX, rls0.barQ),
+    )
+
+    cfg = EngineConfig(
+        horizon=20,
+        steps=steps,
+        delta_u=True,
+        update="rls",
+        c_pairing="same",
+        symmetrize=False,
+        switch_step=10**9,
+        qp_iters=500,
+        qp_rho=0.1,
+    )
+    ref_fn = refgen.constant(
+        jnp.array([1.0], dtype=jnp.float64), 20, 1, jnp.float64
+    )
+    loop = make_closed_loop(TANK, d, cfg, ref_fn)
+    params = MPCParams(
+        q_block=10.0 * jnp.eye(1, dtype=jnp.float64),
+        r_block=1e-3 * jnp.eye(1, dtype=jnp.float64),
+        u_min=jnp.array([-0.5], dtype=jnp.float64),
+        u_max=jnp.array([0.5], dtype=jnp.float64),
+        cy=jnp.array([[0.0, 1.0]], dtype=jnp.float64),
+        applied_min=jnp.array([-8.0], dtype=jnp.float64),
+        applied_max=jnp.array([8.0], dtype=jnp.float64),
+    )
+    _, log = jax.jit(loop)(
+        params, jnp.zeros(2, dtype=jnp.float64), model0, rls0
+    )
+    x_err = np.abs(np.asarray(log.x) - log_x_o).max()
+    u_err = np.abs(np.asarray(log.u) - log_u_o).max()
+    assert x_err < 1e-4, x_err
+    assert u_err < 1e-3, u_err
+    # the warm start carries 1600 snapshots of estimator inertia, so the
+    # level converges slowly (the documented unbounded-history tank bias,
+    # BENCHMARKS.md) — assert it is CONVERGING to r=1, not settled yet
+    lvl = np.asarray(log.x)[:, 1]
+    assert abs(lvl[-1] - 1.0) < 0.2, lvl[-1]
+    # observed decay: |err| 0.276 (step 60) -> 0.153 (step 120)
+    assert abs(lvl[-1] - 1.0) < 0.7 * abs(lvl[steps // 2] - 1.0) or \
+        abs(lvl[steps // 2] - 1.0) < 0.05
