@@ -1,4 +1,4 @@
 from .loop import EngineConfig, LoopCarry, MPCParams, StepLog, make_closed_loop, run_batch
 from . import ref
-from .controller import Controller, ControllerState
+from .controller import BatchedController, Controller, ControllerState
 from .scenario import ScenarioBatch, replicate_scenario, sample_scenarios

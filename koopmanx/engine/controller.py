@@ -3,17 +3,29 @@
 The fused closed loop (:mod:`koopmanx.engine.loop`) simulates the plant
 internally — right for scenario sweeps and benchmarks, wrong for
 deployment, where the physical system produces the measurements. The
-:class:`Controller` exposes the same per-step pipeline (encode -> condensed
-QP -> ADMM -> online RLS refresh) as a stateful ``step(x) -> u`` call:
+:class:`Controller` exposes the same per-step pipeline as a stateful
+``step(x) -> u`` call:
 
     ctrl = Controller.from_pipeline(pipe)           # or explicit parts
     u = ctrl.step(x_measured)                        # one control step
     ...apply u to the real plant, measure x again...
 
-State (model, RLS carries, QP warm start, previous input) lives in a pytree
-the caller can checkpoint/restore (:func:`koopmanx.eval.persist.save_pytree`).
-``step`` is one jitted program; a batched controller (many plants, one
-call) is the same function under ``vmap`` via :class:`BatchedController`.
+The pipeline is not re-implemented here: the control solve (terminal
+synthesis + certificate guard, condensed QP, box fast path, dither, Δu
+accumulation) and the estimator update (all five update modes, model
+guard, change-detection reset) are the SAME builders the loop uses
+(:mod:`koopmanx.engine.core`), so serving cannot drift from the validated
+engine — ``tests/test_controller_equiv.py`` pins ``Controller.step`` ≡
+``loop.one_step`` bit-for-bit across update modes.
+
+State (model, RLS carries, QP warm start, previous input, certificate)
+lives in a pytree the caller can checkpoint/restore
+(:func:`koopmanx.eval.persist.save_pytree`). ``step`` is one jitted
+program; a batched controller (many plants, one call) is the same function
+under ``vmap`` via :class:`BatchedController`.
+
+Reference capability: the per-step serve loop,
+``/root/reference/Tank_System.m:170-291``.
 """
 from __future__ import annotations
 
@@ -23,25 +35,16 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from ..control.condensed import (
-    augment_delta_u,
-    condensed_qp,
-    prediction_matrices,
-    weight_bar,
-)
-from ..control.qp import solve_qp
-from ..edmd.rls import (
-    gram_rls_model,
-    gram_rls_update,
-    rls_update_ab,
-    rls_update_c,
-    sqrt_rls_model,
-    sqrt_rls_update_ab,
-    sqrt_rls_update_c,
-)
 from ..lifts.base import Dictionary
-from ..types import LinearModel, model_from_rls
-from .loop import EngineConfig, MPCParams, _spectral_radius_estimate
+from ..types import LinearModel
+from .core import (
+    EngineConfig,
+    MPCParams,
+    change_reset,
+    initial_cert,
+    make_control_solver,
+    make_estimator_update,
+)
 
 
 class ControllerState(NamedTuple):
@@ -49,168 +52,130 @@ class ControllerState(NamedTuple):
     rls: Any
     u_prev: Array  # last applied input / U0 accumulator
     warm_x: Array  # QP primal warm start
+    warm_y: Array  # QP dual warm start
     z_prev: Array  # lift of the previous measurement (for the RLS pair)
+    x_prev: Array  # previous measurement (c_pairing='same' target)
     have_prev: Array  # bool scalar: first call has no (z, u, z+) pair yet
+    res_ema: Array  # change-detection running residual average
+    cert: Any  # last sane terminal certificate (P, K, gamma) or ()
 
 
-def _make_step_fn(dictionary: Dictionary, cfg: EngineConfig, params: MPCParams,
-                  ref_fn):
-    horizon = cfg.horizon
+def _select(new, old, pred):
+    return jax.tree_util.tree_map(
+        lambda a, b: jax.lax.select(jnp.broadcast_to(pred, a.shape), a, b),
+        new,
+        old,
+    )
+
+
+def make_step_fn(dictionary: Dictionary, cfg: EngineConfig, ref_fn):
+    """Pure serving step: ``(params, state, x, k) -> (state', u)``.
+
+    Mirrors ``loop.one_step`` exactly, shifted one measurement: the loop
+    updates the estimator with ``(z_k, u_k, z_{k+1})`` after stepping its
+    internal plant; here the plant is external, so the same pair arrives
+    at call ``k+1`` as ``(z_prev, u_prev, z)`` — the model that solves for
+    ``u_k`` has absorbed exactly the same data in both harnesses.
+    """
+    def build(m: int):
+        solve = make_control_solver(dictionary, cfg, ref_fn, m)
+        estimate = make_estimator_update(dictionary, cfg)
+
+        def step_fn(params: MPCParams, state: ControllerState, x: Array,
+                    step_idx: Array):
+            # same matmul-precision policy as the loop's scan (loop.py:
+            # closed_loop wraps the scan; here the context is active while
+            # jit traces this body — identical compiled semantics)
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                return _body(params, state, x, step_idx)
+
+        def _body(params: MPCParams, state: ControllerState, x: Array,
+                  step_idx: Array):
+            z = dictionary(x)
+            model, rls, res_ema = state.model, state.rls, state.res_ema
+
+            # ---- online update with the (z_prev, u_prev, z) pair ----
+            if cfg.update != "off":
+                c_target = x if cfg.c_pairing == "next" else state.x_prev
+                rls_new, model_new = estimate(
+                    rls, model, state.z_prev, state.u_prev, z, c_target
+                )
+                residual = jnp.linalg.norm(
+                    z - (model.A @ state.z_prev + model.B @ state.u_prev)
+                )
+                rls_new, res_ema_new = change_reset(
+                    cfg, rls_new, res_ema, residual
+                )
+                # hold everything on the first call (no pair yet)
+                use = state.have_prev
+                rls = _select(rls_new, rls, use)
+                model = _select(model_new, model, use)
+                res_ema = jnp.where(use, res_ema_new, res_ema)
+
+            # ---- shared control body (identical to the loop's) ----
+            dec = solve(
+                params, model, state.cert, x, z, state.u_prev,
+                state.warm_x, state.warm_y, step_idx,
+            )
+
+            new_state = ControllerState(
+                model=model,
+                rls=rls,
+                u_prev=dec.u_applied,
+                warm_x=dec.warm_x,
+                warm_y=dec.sol.y,
+                z_prev=z,
+                x_prev=x,
+                have_prev=jnp.asarray(True),
+                res_ema=res_ema,
+                cert=dec.cert,
+            )
+            return new_state, dec.u_applied
+
+        return step_fn
+
+    return build
+
+
+def initial_state(dictionary: Dictionary, cfg: EngineConfig,
+                  params: MPCParams, model0: LinearModel, rls0,
+                  n: Optional[int] = None) -> ControllerState:
+    """Fresh serving state matching ``closed_loop``'s initial carry."""
     m = params.r_block.shape[-1]
-    qp_cfg = cfg.qp_config
-
-    def step_fn(state: ControllerState, x: Array, step_idx: Array):
-        z = dictionary(x)
-
-        # ---- online update with the (z_prev, u_prev, z) pair ----
-        model = state.model
-        rls = state.rls
-        if cfg.update != "off":
-            def do_update(rls):
-                if cfg.update == "rls_sqrt":
-                    r2 = sqrt_rls_update_ab(
-                        rls, state.z_prev, state.u_prev, z,
-                        lam=cfg.rls_lambda, ridge=cfg.rls_ridge,
-                    )
-                    r2 = sqrt_rls_update_c(
-                        r2, state.z_prev, x, lam=cfg.rls_lambda,
-                        ridge=cfg.rls_ridge,
-                    )
-                    return r2, sqrt_rls_model(r2, dictionary.nlift)
-                if cfg.update == "rls_chol":
-                    r2 = gram_rls_update(
-                        rls, state.z_prev, state.u_prev, z, x,
-                        lam=cfg.rls_lambda,
-                    )
-                    return r2, gram_rls_model(
-                        r2, dictionary.nlift, ridge=max(cfg.rls_ridge**2, 1e-7)
-                    )
-                r2 = rls_update_ab(
-                    rls, state.z_prev, state.u_prev, z,
-                    lam=cfg.rls_lambda, symmetrize=cfg.symmetrize,
-                )
-                r2 = rls_update_c(
-                    r2, state.z_prev, x, lam=cfg.rls_lambda,
-                    symmetrize=cfg.symmetrize,
-                )
-                return r2, model_from_rls(r2, dictionary.nlift)
-
-            rls_new, model_new = do_update(rls)
-            # hold everything on the first call (no pair yet) and guard
-            use = state.have_prev
-            if cfg.model_guard > 0.0:
-                finite = jnp.stack(
-                    [
-                        jnp.all(jnp.isfinite(l.astype(jnp.float32)))
-                        for l in jax.tree_util.tree_leaves(model_new)
-                    ]
-                ).all()
-                sane = finite & (
-                    _spectral_radius_estimate(model_new.A) < cfg.model_guard
-                )
-            else:
-                sane = jnp.asarray(True)
-            sel = lambda a, b, pred: jax.tree_util.tree_map(
-                lambda p, q: jax.lax.select(jnp.broadcast_to(pred, p.shape), p, q),
-                a,
-                b,
-            )
-            rls = sel(rls_new, rls, use)
-            model = sel(model_new, model, use & sane)
-
-        # ---- controller model + QP (same construction as the loop) ----
-        ctrl_model = model
-        if cfg.track_lifted:
-            ctrl_model = ctrl_model._replace(
-                C=jnp.eye(dictionary.nlift, dtype=z.dtype)
-            )
-        if cfg.delta_u:
-            ctrl_model = augment_delta_u(ctrl_model)
-            z_qp = jnp.concatenate([z, state.u_prev])
-        else:
-            z_qp = z
-
-        qbar = weight_bar(params.q_block, horizon, params.terminal)
-        rbar = jnp.kron(
-            jnp.eye(horizon, dtype=params.r_block.dtype), params.r_block
-        )
-        pred = prediction_matrices(ctrl_model, horizon, params.cy, cfg.markov)
-        if cfg.f_clamp > 0.0:
-            pred = jax.tree_util.tree_map(
-                lambda f: jnp.clip(
-                    jnp.nan_to_num(f, nan=0.0, posinf=cfg.f_clamp,
-                                   neginf=-cfg.f_clamp),
-                    -cfg.f_clamp,
-                    cfg.f_clamp,
-                ),
-                pred,
-            )
-        yr = ref_fn(step_idx).reshape(-1)
-
-        a_ineq = l_ineq = u_ineq = None
-        if cfg.delta_u and params.applied_min is not None:
-            a_first = jnp.zeros((m, horizon * m), dtype=z.dtype)
-            a_first = a_first.at[:, :m].set(jnp.eye(m, dtype=z.dtype))
-            a_ineq = a_first
-            l_ineq = params.applied_min - state.u_prev
-            u_ineq = params.applied_max - state.u_prev
-
-        qp = condensed_qp(
-            pred, z_qp, yr, qbar, rbar,
-            jnp.broadcast_to(params.u_min, (horizon * m,)),
-            jnp.broadcast_to(params.u_max, (horizon * m,)),
-            a_ineq, l_ineq, u_ineq,
-        )
-        sol = solve_qp(qp, qp_cfg, x0=state.warm_x)
-        first = jnp.clip(
-            jnp.nan_to_num(sol.x[:m], nan=0.0, posinf=0.0, neginf=0.0),
-            params.u_min,
-            params.u_max,
-        )
-        if cfg.delta_u:
-            u_applied = state.u_prev + first
-            if params.applied_min is not None:
-                u_applied = jnp.clip(
-                    u_applied, params.applied_min, params.applied_max
-                )
-        else:
-            u_applied = first
-
-        warm_x = jnp.nan_to_num(
-            jnp.concatenate([sol.x[m:], sol.x[-m:]]),
-            nan=0.0, posinf=0.0, neginf=0.0,
-        )
-        new_state = ControllerState(
-            model=model,
-            rls=rls,
-            u_prev=u_applied,
-            warm_x=warm_x,
-            z_prev=z,
-            have_prev=jnp.asarray(True),
-        )
-        return new_state, u_applied
-
-    return step_fn
+    n = model0.C.shape[0] if n is None else n
+    dtype = params.q_block.dtype
+    nc = cfg.horizon * m
+    if cfg.delta_u and params.applied_min is not None:
+        nc += m
+    if cfg.state_bounds and params.x_min is not None:
+        nc += params.x_min.shape[0]
+    return ControllerState(
+        model=model0,
+        rls=rls0,
+        u_prev=jnp.zeros((m,), dtype),
+        warm_x=jnp.zeros((cfg.horizon * m,), dtype),
+        warm_y=jnp.zeros((nc,), dtype),
+        z_prev=jnp.zeros((dictionary.nlift,), dtype),
+        x_prev=jnp.zeros((n,), dtype),
+        have_prev=jnp.asarray(False),
+        res_ema=jnp.zeros((), dtype),
+        cert=initial_cert(cfg, params, dictionary.nlift, m, dtype),
+    )
 
 
 class Controller:
     """Stateful single-plant MPC controller (serving-side API)."""
 
     def __init__(self, dictionary, cfg: EngineConfig, params: MPCParams,
-                 ref_fn, model0: LinearModel, rls0, m: Optional[int] = None):
+                 ref_fn, model0: LinearModel, rls0,
+                 n: Optional[int] = None):
         self.cfg = cfg
         self.params = params
-        m = params.r_block.shape[-1] if m is None else m
-        dtype = params.q_block.dtype
-        self._step = jax.jit(_make_step_fn(dictionary, cfg, params, ref_fn))
-        self.state = ControllerState(
-            model=model0,
-            rls=rls0,
-            u_prev=jnp.zeros((m,), dtype),
-            warm_x=jnp.zeros((cfg.horizon * m,), dtype),
-            z_prev=jnp.zeros((dictionary.nlift,), dtype),
-            have_prev=jnp.asarray(False),
-        )
+        m = params.r_block.shape[-1]
+        step_fn = make_step_fn(dictionary, cfg, ref_fn)(m)
+        self._step = jax.jit(step_fn)
+        self._init = initial_state(dictionary, cfg, params, model0, rls0, n)
+        self.state = self._init
         self._k = 0
 
     @classmethod
@@ -229,16 +194,65 @@ class Controller:
     def step(self, x) -> Array:
         """One control step from a measurement; returns the input to apply."""
         self.state, u = self._step(
-            self.state, jnp.asarray(x, self.params.q_block.dtype),
+            self.params, self.state,
+            jnp.asarray(x, self.params.q_block.dtype),
             jnp.asarray(self._k),
         )
         self._k += 1
         return u
 
     def reset(self) -> None:
-        self.state = self.state._replace(
-            have_prev=jnp.asarray(False),
-            warm_x=jnp.zeros_like(self.state.warm_x),
-            u_prev=jnp.zeros_like(self.state.u_prev),
-        )
+        self.state = self._init
         self._k = 0
+
+
+class BatchedController:
+    """Many plants, one jitted call: ``step(X) -> U`` over a leading batch
+    axis, optionally with heterogeneous per-plant :class:`MPCParams`
+    (``batch_params=True``). Same pure step as :class:`Controller`, under
+    ``jax.vmap`` — the serving analog of :func:`koopmanx.engine.loop.run_batch`.
+    """
+
+    def __init__(self, dictionary, cfg: EngineConfig, params: MPCParams,
+                 ref_fn, model0: LinearModel, rls0, batch: int,
+                 batch_params: bool = False, batch_model: bool = False,
+                 n: Optional[int] = None):
+        """``batch_params`` / ``batch_model``: the corresponding argument
+        carries a leading per-plant batch axis (heterogeneous weights /
+        per-plant warm-started model+estimator); otherwise it is shared
+        and broadcast."""
+        self.cfg = cfg
+        self.params = params
+        p_one = (
+            jax.tree_util.tree_map(lambda a: a[0], params)
+            if batch_params
+            else params
+        )
+        m = p_one.r_block.shape[-1]
+        step_fn = make_step_fn(dictionary, cfg, ref_fn)(m)
+        self._step = jax.jit(
+            jax.vmap(step_fn, in_axes=(0 if batch_params else None, 0, 0, None))
+        )
+        take0 = lambda t: jax.tree_util.tree_map(lambda a: a[0], t)
+        m0 = take0(model0) if batch_model else model0
+        r0 = take0(rls0) if batch_model else rls0
+        state1 = initial_state(dictionary, cfg, p_one, m0, r0, n)
+        self.state = jax.tree_util.tree_map(
+            lambda leaf: jnp.broadcast_to(leaf, (batch,) + leaf.shape), state1
+        )
+        if batch_model:
+            self.state = self.state._replace(model=model0, rls=rls0)
+        self._k = 0
+
+    def step(self, x_batch) -> Array:
+        self.state, u = self._step(
+            self.params, self.state,
+            jnp.asarray(x_batch), jnp.asarray(self._k),
+        )
+        self._k += 1
+        return u
+
+    def reset(self) -> None:
+        raise NotImplementedError(
+            "rebuild the BatchedController to reset (cheap: state init only)"
+        )

@@ -1,0 +1,620 @@
+"""Shared per-step MPC body — the ONE implementation of the reference's
+control step, used by both execution harnesses:
+
+- :mod:`koopmanx.engine.loop` — the fused simulation loop (plant stepped
+  internally, whole horizon under one ``lax.scan``), and
+- :mod:`koopmanx.engine.controller` — the serving API (plant external,
+  one jitted ``step(x) -> u`` per measurement).
+
+The reference interleaves these concerns in flat scripts
+(``duffing.py:738-1012``, ``Tank_System.m:170-291``); here the step is
+factored into three pure builders so the two harnesses cannot drift:
+
+- :func:`make_control_solver` — encode -> (terminal synthesis + certificate
+  guard) -> condensed QP build -> ADMM solve (box fast path when the only
+  constraints are the input box) -> dither -> Δu accumulation. Everything
+  between "we have a model" and "here is the input to apply".
+- :func:`make_estimator_update` — the online-update dispatch
+  (rls | rls_sqrt | rls_chol | windowed | storage) + the model guard
+  (finiteness + spectral-radius screen, hold last sane model).
+- :func:`change_reset` — event-triggered statistic reset (re-adaptation
+  after plant changes) on the one-step lifted residual.
+
+Config types (:class:`EngineConfig`, :class:`MPCParams`) live here and are
+re-exported by :mod:`koopmanx.engine.loop` for compatibility.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..control.condensed import (
+    augment_delta_u,
+    condensed_qp,
+    prediction_matrices,
+    weight_bar,
+)
+from ..control.qp import ADMMConfig, make_box_qp_solver, solve_qp
+from ..control.lmi import solve_terminal_lmi
+from ..control.terminal import synthesize_terminal
+from ..edmd.windowed import window_model, window_update
+from ..edmd.rls import (
+    gram_rls_model,
+    gram_rls_update,
+    rls_update_ab,
+    rls_update_c,
+    sqrt_rls_model,
+    sqrt_rls_update_ab,
+    sqrt_rls_update_c,
+    storage_model,
+    storage_update,
+)
+from ..lifts.base import Dictionary
+from ..types import LinearModel, model_from_rls
+
+
+class MPCParams(NamedTuple):
+    """Runtime (array-valued) MPC parameters for one scenario."""
+
+    q_block: Array  # (py, py) stage output weight
+    r_block: Array  # (m, m) stage input weight
+    u_min: Array  # (m,) decision-variable bounds (Δu bounds in delta mode)
+    u_max: Array
+    cy: Optional[Array] = None  # (py, p) output selector; None = track C z
+    applied_min: Optional[Array] = None  # Δu mode: bounds on U0 itself
+    applied_max: Optional[Array] = None
+    terminal: Optional[Array] = None  # static terminal block override
+    q_lift: Optional[Array] = None  # lifted-state weight for terminal synth
+    x_min: Optional[Array] = None  # (N*py,) stacked state box (Revise_2)
+    x_max: Optional[Array] = None
+    # State-space reference point used as the Lyapunov / LMI / monitor
+    # anchor x - r (Revise_2/Koopman_update.m:331, :382-385). Required in
+    # lifted-tracking mode where the receding reference window is already
+    # encoded; falls back to the first n channels of the window when None.
+    ref_state: Optional[Array] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Static (hashable) engine configuration — the explicit config surface
+    the reference hides in commented-out constants (SURVEY §5)."""
+
+    horizon: int = 10
+    steps: int = 1000
+    h: float = 0.05
+    integrator: str = "rk4"
+    delta_u: bool = False  # Tank's incremental-input formulation
+    track_lifted: bool = False  # VDP's lifted-space tracking
+    update: str = "rls"  # 'rls' | 'storage' | 'off'
+    c_pairing: str = "next"  # 'next' (duffing.py:943) | 'same' (Tank_System.m:259)
+    rls_lambda: float = 1.0
+    rls_ridge: float = 0.0  # rls_sqrt mode: per-step diagonal trickle
+    symmetrize: bool = True
+    switch_step: int = 100  # plant-parameter switch (>= steps disables)
+    markov: str = "dag"  # prediction-matrix build (condensed.py): dag|doubling|assoc|scan
+    qp_iters: int = 60
+    qp_rho: float = 0.1
+    qp_sigma: float = 1e-6
+    qp_alpha: float = 1.6
+    # 'primal' re-uses the shifted previous solution; 'full' also carries
+    # duals (only safe when the QP matrices barely change step-to-step,
+    # e.g. update='off'); 'off' solves cold. Carrying duals across the
+    # online-updated model's changing (H, A, l, u) destabilizes a
+    # fixed-iteration ADMM (observed on the Tank Δu loop).
+    qp_warm_start: str = "primal"
+    # Box-QP backend under scenario batching: 'xla' (batched fusions) or
+    # 'pallas' (EXPERIMENTAL — VMEM-resident ADMM kernel,
+    # ops/qp_pallas_box.py). Measured result (BENCHMARKS.md "Fused-kernel
+    # study"): at these tiny shapes XLA wins; keep 'xla' in production.
+    qp_backend: str = "xla"
+    # Stream the ADMM KKT inverse from HBM in bfloat16 (f32 accumulation):
+    # halves the step's measured HBM-roofline term at a ~0.4% QP-Hessian
+    # perturbation — controller-side only, see ADMMConfig.kkt_bf16.
+    qp_kkt_bf16: bool = False
+    # lax.scan unroll for the ADMM iteration body (ADMMConfig.unroll)
+    qp_unroll: int = 10
+    # Change detection / re-adaptation: when the one-step lifted residual
+    # spikes above reset_mult x its running average (EMA), the plant has
+    # changed — scale the RLS sufficient statistics by reset_factor
+    # (K_A <- a K_A, G <- a G leaves the current model UNCHANGED but makes
+    # new observations dominate, i.e. event-triggered forgetting). Unlike a
+    # blanket forgetting factor this cannot collapse the Gram during quiet
+    # periods (observed failure: lam=0.99 drains the Tank loop). 0 disables.
+    reset_mult: float = 0.0
+    reset_factor: float = 1e-3
+    residual_ema: float = 0.98
+    # Persistent excitation: a small deterministic multi-sine probe added
+    # to the applied input (within bounds). Closed-loop data alone is not
+    # persistently exciting — after a plant change (or from an absorbing
+    # state like the drained tank) the scratch estimator can identify a
+    # degenerate model and never recover; a probing signal restores
+    # identifiability. 0 disables (parity modes).
+    dither: float = 0.0
+    # Failure detection (SURVEY §5), two layers:
+    # (1) f_clamp saturates prediction-matrix entries so an unstable model
+    #     estimate raised to the horizon-th power cannot overflow f32 and
+    #     NaN the QP (sane models produce entries O(10); the clamp only
+    #     engages in pathological transients, which then yield bounded-
+    #     garbage inputs that the box projection contains while the
+    #     estimator recovers).
+    # (2) model_guard screens the controller-side model: non-finite or
+    #     estimated spectral radius of A (power iteration — basis-
+    #     independent, unlike matrix norms on unnormalized lifts) above
+    #     the bound -> hold the last sane model while the estimator keeps
+    #     accumulating. Healthy Koopman predictors of these stable plants
+    #     have radius <= ~1.1; pathological transients exceed 2 quickly.
+    #     0 disables.
+    f_clamp: float = 1e5
+    model_guard: float = 3.0
+    terminal_synthesis: bool = False  # per-step terminal synthesis (Revise_2)
+    terminal_mode: str = "dare"  # 'dare' (production) | 'lmi' (Revise_2 parity)
+    state_bounds: bool = False  # enable Revise_2 state-box rows
+    drift_norm: str = "fro"  # 'fro' | 'spectral'
+    # lax.scan unroll factor for the time loop: >1 amortizes while-loop
+    # carry copies over multiple steps at the cost of compile time.
+    unroll: int = 1
+    # Rematerialize each step under autodiff (jax.checkpoint): grad through
+    # an S-step closed loop then stores only the S carries instead of every
+    # intermediate of every step — the standard FLOPs-for-HBM trade that
+    # makes reference-length (1000+ step) differentiation fit on a chip.
+    # No effect on forward-only runs.
+    remat: bool = False
+    # Matmul precision for the CONTROLLER side of the step (encode, QP
+    # build, ADMM). TPU f32 matmuls default to single-pass bf16
+    # approximations; that default silently corrupted the online
+    # estimator's Gram refit (observed 2026-08-18: the f32 Tank windowed
+    # loop drains to x2=0 by step 3000 on TPU while identical code tracks
+    # r=1 on CPU) — so every estimator update/extraction function in
+    # koopmanx.edmd pins FULL precision internally (see
+    # edmd.rls.full_precision) regardless of this knob. The controller
+    # side tolerates fast precision at reference scale (duffing 10k /
+    # vdp 1k / tank 3k validated); raise to 'high'/'highest' to harden it
+    # for ill-conditioned custom workloads.
+    matmul_precision: str = "default"
+
+    @property
+    def qp_config(self) -> ADMMConfig:
+        return ADMMConfig(
+            iters=self.qp_iters,
+            rho=self.qp_rho,
+            sigma=self.qp_sigma,
+            alpha=self.qp_alpha,
+            kkt_bf16=self.qp_kkt_bf16,
+            unroll=self.qp_unroll,
+        )
+
+
+def _tree_finite(tree) -> Array:
+    """All-leaves-finite as ONE scalar: isfinite(sum of |leaf| sums).
+
+    NaN/Inf anywhere propagates through the sum (|.| prevents +inf/-inf
+    cancelling into a spuriously-finite value... it cannot anyway — they sum
+    to NaN — but abs also prevents large finite values cancelling below the
+    overflow threshold). Equivalent failure detection to per-leaf
+    ``all(isfinite(...))`` at a fraction of the cost: the per-leaf stacked
+    reductions were 4 separate fusions ~0.28 ms/step at batch 2048; the
+    add-tree of sums fuses into the surrounding computation.
+    """
+    flat = jnp.concatenate(
+        [
+            jnp.ravel(leaf).astype(jnp.float32)
+            for leaf in jax.tree_util.tree_leaves(tree)
+        ]
+    )
+    return jnp.isfinite(jnp.sum(jnp.abs(flat)))
+
+
+def _matnorm(d: Array, kind: str) -> Array:
+    if kind == "spectral":
+        return jnp.linalg.norm(d, ord=2)
+    return jnp.linalg.norm(d)
+
+
+def _spectral_radius_estimate(a: Array, iters: int = 12) -> Array:
+    """|lambda_max(A)| estimate by power iteration: v <- A v / ||A v||;
+    the norm ratio ||A v|| converges to the dominant |eigenvalue|. Cheap
+    (iters small matvecs), branch-free, vmappable. NaN inputs propagate to
+    NaN (caught by the finiteness check alongside)."""
+    n = a.shape[-1]
+    v = jnp.full((n,), 1.0 / jnp.sqrt(jnp.asarray(n, a.dtype)), dtype=a.dtype)
+
+    def body(carry, _):
+        v, _ = carry
+        av = a @ v
+        nrm = jnp.linalg.norm(av)
+        v_new = av / jnp.maximum(nrm, jnp.asarray(1e-30, a.dtype))
+        return (v_new, nrm), None
+
+    # fully unrolled: 12 dependent matvecs on an (8,8) are ~100 ns of VPU
+    # work — while-loop per-iteration carry copies would cost 10x that
+    (v, nrm), _ = jax.lax.scan(
+        body, (v, jnp.asarray(0.0, a.dtype)), None, length=iters, unroll=iters
+    )
+    return nrm
+
+
+class ControlDecision(NamedTuple):
+    """Everything :func:`make_control_solver` produces for one step.
+
+    ``u_applied`` is the input to apply; the rest feeds the carry
+    (``warm_x``, ``sol.y``, ``cert``) and the Revise_2 monitor block
+    (``p_lyap`` .. ``c_for_term`` are None when synthesis is off — they are
+    trace-time constants per config, so the Optional is static)."""
+
+    u_applied: Array
+    warm_x: Array  # shifted, sanitized primal warm start for the next step
+    sol: Any  # QPSolution (x, y, primal_res)
+    cert: Any  # guarded (P, K, gamma) tuple, or () when synthesis off
+    cert_ok: Array  # bool: this step's synthesis passed the guard
+    r_window: Array  # (horizon, py) reference window used
+    p_lyap: Optional[Array] = None
+    cert_k: Optional[Array] = None
+    cert_gamma: Optional[Array] = None
+    ref_full: Optional[Array] = None
+    terminal: Optional[Array] = None
+    c_for_term: Optional[Array] = None
+
+
+def initial_cert(cfg: EngineConfig, params: MPCParams, nlift: int, m: int,
+                 dtype) -> Any:
+    """Pre-synthesis certificate seed: P = Q_lift (the DARE iterate's own
+    starting point), K = 0, gamma = 1; the first guard-passing synthesis
+    replaces it. ``()`` when synthesis is off."""
+    if not cfg.terminal_synthesis:
+        return ()
+    p_seed = (
+        params.q_lift
+        if params.q_lift is not None
+        else jnp.eye(nlift, dtype=dtype)
+    )
+    return (
+        jnp.asarray(p_seed, dtype),
+        jnp.zeros((m, nlift), dtype),
+        jnp.ones((), dtype),
+    )
+
+
+def make_control_solver(dictionary: Dictionary, cfg: EngineConfig, ref_fn,
+                        m: int):
+    """Build the shared control-solve body (model -> applied input).
+
+    Covers the reference's per-step controller block: condensed QP build
+    (``duffing.py:756-800``, ``Tank_System.m:118-158``), the Revise_2
+    per-step terminal synthesis + certificate guard
+    (``Revise_2/Koopman_update.m:331-369``), the Δu accumulator
+    (``Tank_System.m:192``), and state-box rows
+    (``Revise_2/Koopman_update.m:205-211``).
+    """
+    horizon = cfg.horizon
+    qp_cfg = cfg.qp_config
+    box_solver = make_box_qp_solver(qp_cfg, backend=cfg.qp_backend)
+
+    def control_solve(params: MPCParams, model: LinearModel, cert: Any,
+                      x: Array, z: Array, u_prev: Array, warm_x: Array,
+                      warm_y: Array, step: Array) -> ControlDecision:
+        n = model.C.shape[0]  # plant state dim (C maps z -> x)
+
+        # ---- controller model (Δu augmentation happens on the *current*
+        # online-updated model, Tank_System.m:265-268) ----
+        ctrl_model = model
+        if cfg.track_lifted:
+            # lifted-space tracking (vanderpol.py:456-459): the tracked
+            # output is z itself, so the predictor's C is the identity
+            # (VDP_Revise_2/...m:99: C = eye(Nlift))
+            ctrl_model = ctrl_model._replace(
+                C=jnp.eye(dictionary.nlift, dtype=z.dtype)
+            )
+        if cfg.delta_u:
+            ctrl_model = augment_delta_u(ctrl_model)
+            z_qp = jnp.concatenate([z, u_prev])
+        else:
+            z_qp = z
+
+        # ---- terminal weight ----
+        if cfg.terminal_synthesis:
+            if params.ref_state is not None:
+                ref_full = params.ref_state
+            else:
+                r0 = ref_fn(step)[0]
+                ref_full = jnp.zeros((n,), dtype=z.dtype).at[
+                    : r0.shape[-1]
+                ].set(r0[:n])
+            if cfg.terminal_mode == "lmi":
+                # Revise_2 parity: per-step LMI anchored at the current
+                # lifted tracking error (Revise_2/Koopman_update.m:331)
+                psi = dictionary(x - ref_full)
+                lmi_res = solve_terminal_lmi(
+                    model,
+                    params.q_lift,
+                    params.r_block,
+                    psi,
+                    u_max=params.u_max[0],  # traced scalar is fine here
+                )
+                cert_p = lmi_res.p
+                cert_k = lmi_res.k  # u = K z convention (ref :361)
+                cert_gamma = lmi_res.gamma
+            else:
+                tc = synthesize_terminal(model, params.q_lift, params.r_block)
+                cert_p = tc.p
+                cert_k = -tc.k  # dlqr returns u = -K z; flip to ref convention
+                cert_gamma = tc.gamma
+            # ---- certificate guard: a transiently non-stabilizable
+            # estimated model has NO certificate (f32 DARE doubling / LMI
+            # barrier then returns NaN or an indefinite P). Hold the last
+            # sane (P, K, gamma) instead of poisoning the terminal weight
+            # and the Revise_2 monitor series. ----
+            psi_anchor = dictionary(x - ref_full)
+            v_anchor = psi_anchor @ cert_p @ psi_anchor
+            cert_ok = (
+                _tree_finite((cert_p, cert_k, cert_gamma))
+                & (v_anchor >= 0)
+                & (cert_gamma > 0)
+            )
+            prev_p, prev_k, prev_gamma = cert
+            cert_p = jnp.where(cert_ok, cert_p, prev_p)
+            cert_k = jnp.where(cert_ok, cert_k, prev_k)
+            cert_gamma = jnp.where(cert_ok, cert_gamma, prev_gamma)
+            new_cert = (cert_p, cert_k, cert_gamma)
+            if cfg.track_lifted:
+                # lifted tracking injects the FULL P — the tracked output
+                # is z itself so the output map is the identity
+                # (VDP_Revise_2/Koopman_update_Tracking_Lift.m:283)
+                c_for_term = jnp.eye(dictionary.nlift, dtype=z.dtype)
+                terminal = cert_p
+            else:
+                c_for_term = model.C if params.cy is None else params.cy @ model.C
+                terminal = c_for_term @ cert_p @ c_for_term.T
+            p_lyap = cert_p
+        else:
+            terminal = params.terminal
+            p_lyap = None
+            cert_k = None
+            cert_gamma = None
+            ref_full = None
+            c_for_term = None
+            new_cert = cert
+            cert_ok = jnp.asarray(True)
+
+        qbar = weight_bar(params.q_block, horizon, terminal)
+        rbar = jnp.kron(
+            jnp.eye(horizon, dtype=params.r_block.dtype), params.r_block
+        )
+
+        pred = prediction_matrices(ctrl_model, horizon, params.cy, cfg.markov)
+        if cfg.f_clamp > 0.0:
+            pred = jax.tree_util.tree_map(
+                lambda f: jnp.clip(
+                    jnp.nan_to_num(
+                        f, nan=0.0, posinf=cfg.f_clamp, neginf=-cfg.f_clamp
+                    ),
+                    -cfg.f_clamp,
+                    cfg.f_clamp,
+                ),
+                pred,
+            )
+        r_window = ref_fn(step)  # (horizon, py)
+        yr = r_window.reshape(-1)
+
+        # ---- extra inequality rows ----
+        a_ineq = None
+        l_ineq = None
+        u_ineq = None
+        if cfg.delta_u and params.applied_min is not None:
+            # input-magnitude constraint on U0 + Δu_0 (Tank_System.m:147-150)
+            a_first = jnp.zeros((m, horizon * m), dtype=z.dtype)
+            a_first = a_first.at[:, :m].set(jnp.eye(m, dtype=z.dtype))
+            a_ineq = a_first
+            l_ineq = params.applied_min - u_prev
+            u_ineq = params.applied_max - u_prev
+        if cfg.state_bounds and params.x_min is not None:
+            # Revise_2/Koopman_update.m:205-211 state box via F1/F2
+            f1z = pred.f1 @ z_qp
+            a_state = pred.f2
+            l_state = params.x_min - f1z
+            u_state = params.x_max - f1z
+            if a_ineq is None:
+                a_ineq, l_ineq, u_ineq = a_state, l_state, u_state
+            else:
+                a_ineq = jnp.concatenate([a_ineq, a_state], axis=0)
+                l_ineq = jnp.concatenate([l_ineq, l_state])
+                u_ineq = jnp.concatenate([u_ineq, u_state])
+
+        lo = jnp.broadcast_to(params.u_min, (horizon * m,))
+        hi = jnp.broadcast_to(params.u_max, (horizon * m,))
+        qp = condensed_qp(
+            pred, z_qp, yr, qbar, rbar, lo, hi, a_ineq, l_ineq, u_ineq
+        )
+        if a_ineq is None:
+            # Box-only fast path (A = I): the Duffing/VDP loops' only
+            # constraints are the input box (duffing.py:636 ±2,
+            # vanderpol.py:542 ±6) — skip the A-matmuls entirely and shrink
+            # the KKT solve to (P + (sigma+rho) I)^{-1}. Statically known:
+            # a_ineq is a trace-time Python value.
+            # box_solver == solve_box_qp unbatched; under the scenario
+            # vmap its custom batching rule can route the whole batch to
+            # the VMEM-resident Pallas kernel (cfg.qp_backend='pallas')
+            zeros_x = jnp.zeros_like(qp.q)
+            x0 = (
+                warm_x
+                if cfg.qp_warm_start in ("full", "primal")
+                else zeros_x
+            )
+            y0 = warm_y if cfg.qp_warm_start == "full" else zeros_x
+            sol = box_solver(qp.P, qp.q, lo, hi, x0, y0)
+        elif cfg.qp_warm_start == "full":
+            sol = solve_qp(qp, qp_cfg, x0=warm_x, y0=warm_y)
+        elif cfg.qp_warm_start == "primal":
+            sol = solve_qp(qp, qp_cfg, x0=warm_x)
+        else:
+            sol = solve_qp(qp, qp_cfg)
+        # project the applied move onto its box (the ADMM x-iterate is only
+        # asymptotically feasible; actuator saturation is exact projection);
+        # a non-finite solve (guarded model pathologies) falls back to 0
+        first_move = jnp.clip(
+            jnp.nan_to_num(sol.x[:m], nan=0.0, posinf=0.0, neginf=0.0),
+            params.u_min,
+            params.u_max,
+        )
+
+        if cfg.dither > 0.0:
+            t_f = step.astype(z.dtype)
+            probe = cfg.dither * (
+                jnp.sin(0.37 * t_f) + 0.5 * jnp.sin(1.13 * t_f + 1.0)
+            )
+            first_move = jnp.clip(
+                first_move + probe, params.u_min, params.u_max
+            )
+        if cfg.delta_u:
+            u_applied = u_prev + first_move  # U0 += ΔU (Tank_System.m:192)
+            if params.applied_min is not None:
+                # exact actuator saturation: the QP's input-magnitude rows
+                # (Tank_System.m:147-150) are only asymptotically feasible
+                # under fixed-iteration ADMM; project the accumulator (this
+                # also keeps |Δu_applied| <= the Δu box).
+                u_applied = jnp.clip(
+                    u_applied, params.applied_min, params.applied_max
+                )
+        else:
+            u_applied = first_move
+
+        # warm start: shift the solution one step (last move repeated);
+        # sanitize so a pathological solve cannot poison later steps
+        warm_next = jnp.nan_to_num(
+            jnp.concatenate([sol.x[m:], sol.x[-m:]]),
+            nan=0.0, posinf=0.0, neginf=0.0,
+        )
+        return ControlDecision(
+            u_applied=u_applied,
+            warm_x=warm_next,
+            sol=sol,
+            cert=new_cert,
+            cert_ok=cert_ok,
+            r_window=r_window,
+            p_lyap=p_lyap,
+            cert_k=cert_k,
+            cert_gamma=cert_gamma,
+            ref_full=ref_full,
+            terminal=terminal,
+            c_for_term=c_for_term,
+        )
+
+    return control_solve
+
+
+def make_estimator_update(dictionary: Dictionary, cfg: EngineConfig):
+    """Build the shared online-update body (one (z, u, z+, c_target) pair
+    -> refreshed estimator + guarded model).
+
+    The update-mode dispatch mirrors the reference's RLS blocks
+    (``duffing.py:926-949``, ``Tank_System.m:251-268``); the model guard is
+    a koopmanx robustness layer (see EngineConfig.model_guard).
+
+    ``c_target`` is the output-regression target already resolved by the
+    caller (``x_next`` for c_pairing='next', ``x`` for 'same') — the two
+    harnesses see the pair at different times, so the pairing is theirs.
+    Returns ``(rls, new_model)``. With ``cfg.update == 'off'`` both pass
+    through unchanged.
+    """
+
+    def estimator_update(rls, model: LinearModel, z: Array, u: Array,
+                         z_next: Array, c_target: Array):
+        if cfg.update == "rls":
+            rls_new = rls_update_ab(
+                rls, z, u, z_next,
+                lam=cfg.rls_lambda, symmetrize=cfg.symmetrize,
+            )
+            rls_new = rls_update_c(
+                rls_new, z, c_target,
+                lam=cfg.rls_lambda, symmetrize=cfg.symmetrize,
+            )
+            new_model = model_from_rls(rls_new, dictionary.nlift)
+        elif cfg.update == "rls_chol":
+            rls_new = gram_rls_update(
+                rls, z, u, z_next, c_target, lam=cfg.rls_lambda
+            )
+            new_model = gram_rls_model(
+                rls_new, dictionary.nlift, ridge=max(cfg.rls_ridge**2, 1e-7)
+            )
+        elif cfg.update == "rls_sqrt":
+            rls_new = sqrt_rls_update_ab(
+                rls, z, u, z_next, lam=cfg.rls_lambda, ridge=cfg.rls_ridge,
+            )
+            rls_new = sqrt_rls_update_c(
+                rls_new, z, c_target, lam=cfg.rls_lambda, ridge=cfg.rls_ridge
+            )
+            new_model = sqrt_rls_model(rls_new, dictionary.nlift)
+        elif cfg.update == "windowed":
+            rls_new = window_update(rls, z, u, z_next, c_target)
+            new_model = window_model(
+                rls_new, dictionary.nlift, ridge=max(cfg.rls_ridge, 1e-5)
+            )
+        elif cfg.update == "storage":
+            rls_new = storage_update(rls, z, u, z_next, c_target)
+            new_model = storage_model(rls_new, dictionary.nlift)
+        else:
+            return rls, model
+
+        # ---- model guard (failure detection) ----
+        if cfg.model_guard > 0.0:
+            finite = _tree_finite(new_model)
+            radius = _spectral_radius_estimate(new_model.A)
+            sane = finite & (radius < cfg.model_guard)
+            new_model = jax.tree_util.tree_map(
+                lambda a, b: jax.lax.select(
+                    jnp.broadcast_to(sane, a.shape), a, b
+                ),
+                new_model,
+                model,
+            )
+            # estimator state must never absorb non-finite carries
+            rls_finite = _tree_finite(rls_new)
+            rls_new = jax.tree_util.tree_map(
+                lambda a, b: jax.lax.select(
+                    jnp.broadcast_to(rls_finite, a.shape), a, b
+                ),
+                rls_new,
+                rls,
+            )
+
+        return rls_new, new_model
+
+    return estimator_update
+
+
+def change_reset(cfg: EngineConfig, rls, res_ema: Array, residual: Array):
+    """Event-triggered statistic reset (see EngineConfig.reset_mult).
+
+    ``residual`` is the one-step lifted residual under the PRE-update model
+    (matching the loop's logging point). Returns ``(rls, res_ema)``;
+    identity when disabled or under update modes without scalable Grams.
+    """
+    if not (cfg.reset_mult > 0.0 and cfg.update in ("rls_sqrt", "rls_chol")):
+        return rls, res_ema
+    warmed = res_ema > 0
+    trigger = warmed & (residual > cfg.reset_mult * res_ema)
+    alpha = jnp.where(trigger, cfg.reset_factor, 1.0).astype(residual.dtype)
+    if cfg.update == "rls_sqrt":
+        rls = rls._replace(
+            K_A=rls.K_A * alpha,
+            r_g=rls.r_g * jnp.sqrt(alpha),
+            barX=rls.barX * alpha,
+            r_q=rls.r_q * jnp.sqrt(alpha),
+        )
+    else:  # rls_chol (Gram carry)
+        rls = rls._replace(
+            K_A=rls.K_A * alpha,
+            g=rls.g * alpha,
+            barX=rls.barX * alpha,
+            q=rls.q * alpha,
+        )
+    res_ema = jnp.where(
+        trigger,
+        res_ema,  # don't poison the baseline with the spike
+        cfg.residual_ema * res_ema + (1.0 - cfg.residual_ema) * residual,
+    )
+    res_ema = jnp.where(warmed, res_ema, residual)
+    return rls, res_ema

@@ -53,11 +53,12 @@ def test_controller_matches_fused_loop():
         u = ctrl.step(x)
         x = plant(x, u, DUFFING.theta0)
     xs = np.stack(xs)
-    # the loop updates the model with (z_k, u_k, z_{k+1}) *within* step k,
-    # while the serving controller can only incorporate the pair at step
-    # k+1 (the measurement arrives later) — a one-step information lag, so
-    # trajectories agree closely but not bitwise
-    assert np.abs(xs - x_loop).max() < 0.05, np.abs(xs - x_loop).max()
+    # both harnesses share one per-step body (engine/core.py) and see the
+    # same data at the same step (the loop absorbs (z_k, u_k, z_{k+1})
+    # inside step k; the controller receives the identical pair at call
+    # k+1 before solving for u_{k+1}) — only cross-program fp noise
+    # remains; see tests/test_controller_equiv.py for the full-mode matrix
+    assert np.abs(xs - x_loop).max() < 1e-6, np.abs(xs - x_loop).max()
 
 
 def test_controller_state_checkpoint(tmp_path):
