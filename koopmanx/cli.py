@@ -90,6 +90,9 @@ def cmd_run(args):
         save_figure_bundle(
             args.figures, log, h=cfg.data.h, u_bounds=bounds,
             data=pipe.data, recon=(x, x_recon),
+            # spectrum + eigenfunction gallery of the FINAL online-updated
+            # operator (what the adaptation converged to)
+            spectral=(carry.model, pipe.dictionary),
         )
 
     summary = {

@@ -231,18 +231,142 @@ def ellipsoid_rings(ellipse_series, x=None, stride: int = 1, ax=None):
     return ax
 
 
+def spectrum_plot(spec, ax=None):
+    """Identified-operator spectrum on the complex plane with the unit
+    circle (the discrete-time stability boundary) — the diagnostic the
+    reference prints as a table (duffing.py:627)."""
+    plt = _plt()
+    if ax is None:
+        _, ax = plt.subplots(figsize=(5, 5))
+    lam = np.asarray(spec.eigenvalues)
+    th = np.linspace(0, 2 * np.pi, 400)
+    ax.plot(np.cos(th), np.sin(th), "k:", linewidth=1.0, label="unit circle")
+    ax.scatter(lam.real, lam.imag, c=np.abs(lam), cmap="viridis", zorder=3)
+    ax.set_xlabel(r"$\mathrm{Re}\,\lambda$")
+    ax.set_ylabel(r"$\mathrm{Im}\,\lambda$")
+    ax.set_aspect("equal")
+    ax.grid(True)
+    ax.legend()
+    return ax
+
+
+def eigenfunction_grid(spec, dictionary, extent=(-2.0, 2.0, -2.0, 2.0),
+                       resolution: int = 60):
+    """Evaluate every Koopman eigenfunction phi_i(x) = (W^{-1} psi(x))_i on
+    a regular state grid (host-side analysis helper).
+
+    The reference scatters eigenVECTOR entries at the training states and
+    griddata-interpolates (``DeepLearning_KoopmanControl_Approach3.py:
+    288-308`` ``plotDuffingScatter``); evaluating the eigenFUNCTION on the
+    grid directly is the same picture without the interpolation artifact.
+
+    2-D systems: extent=(x1min, x1max, x2min, x2max) -> returns
+    ``(grid_pts, phi)`` with phi (resolution, resolution, N) complex,
+    row/col oriented for imshow(origin='lower'). 1-D: extent=(xmin, xmax)
+    -> phi (resolution, N).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .modes import eigenfunctions
+
+    if len(extent) == 2:
+        xs = np.linspace(extent[0], extent[1], resolution)
+        pts = xs[:, None]
+        shape = (resolution,)
+    else:
+        x1 = np.linspace(extent[0], extent[1], resolution)
+        x2 = np.linspace(extent[2], extent[3], resolution)
+        g1, g2 = np.meshgrid(x1, x2)  # (res, res), row = x2, col = x1
+        pts = np.stack([g1.ravel(), g2.ravel()], axis=1)
+        shape = (resolution, resolution)
+    z = np.asarray(jax.vmap(dictionary)(jnp.asarray(pts)))
+    phi = eigenfunctions(spec, z).reshape(shape + (-1,))
+    return pts.reshape(shape + (pts.shape[-1],)), phi
+
+
+def eigenfunction_gallery(model, dictionary, h: float = 0.05,
+                          extent=(-2.0, 2.0, -2.0, 2.0),
+                          resolution: int = 60, top: int = 8,
+                          part: str = "real", fig=None):
+    """Heatmap per Koopman eigenfunction over the state plane, ordered by
+    |lambda| (dominant first), each panel titled with its eigenvalue — the
+    runnable counterpart of the reference's ``plotDuffingScatter``
+    eigenfunction view (``DeepLearning_KoopmanControl_Approach3.py:254-308``).
+
+    ``part``: 'real' (reference's choice), 'abs' (magnitude), or 'phase'.
+    1-D systems get line plots instead of heatmaps.
+    """
+    from .modes import spectral_decomposition
+
+    plt = _plt()
+    spec = spectral_decomposition(model, h)
+    pts, phi = eigenfunction_grid(spec, dictionary, extent, resolution)
+    order = np.argsort(-np.abs(spec.eigenvalues))[:top]
+    take = {
+        "real": lambda v: v.real,
+        "abs": np.abs,
+        "phase": np.angle,
+    }[part]
+    ncols = min(4, len(order))
+    nrows = -(-len(order) // ncols)
+    if fig is None:
+        fig, axes = plt.subplots(
+            nrows, ncols, figsize=(3.4 * ncols, 3.0 * nrows), squeeze=False
+        )
+    else:
+        axes = fig.subplots(nrows, ncols, squeeze=False)
+    axes = np.asarray(axes).ravel()
+    for ax in axes[len(order):]:
+        ax.axis("off")
+    one_d = phi.ndim == 2
+    for k, idx in enumerate(order):
+        ax = axes[k]
+        lam = spec.eigenvalues[idx]
+        vals = take(phi[..., idx])
+        # match the reference's normalization (Za /= ||Za.real||)
+        nrm = np.linalg.norm(vals)
+        if nrm > 0:
+            vals = vals / nrm
+        if one_d:
+            ax.plot(pts[:, 0], vals)
+            ax.set_xlabel("$x$")
+            ax.grid(True)
+        else:
+            im = ax.imshow(
+                vals,
+                origin="lower",
+                extent=extent,
+                cmap=plt.cm.Spectral_r,
+                aspect="auto",
+            )
+            fig.colorbar(im, ax=ax, shrink=0.85)
+            ax.set_xlabel("$x_1$")
+            ax.set_ylabel("$x_2$")
+        ax.set_title(
+            f"$\\phi_{{{idx + 1}}}$, "
+            f"$\\lambda={lam.real:.3f}{lam.imag:+.3f}i$",
+            fontsize=9,
+        )
+    fig.tight_layout()
+    return fig
+
+
 def save_figure_bundle(
-    prefix: str, log, h: float = 0.05, u_bounds=None, data=None, recon=None
+    prefix: str, log, h: float = 0.05, u_bounds=None, data=None, recon=None,
+    spectral=None,
 ):
     """Write the standard figure set for a closed-loop run.
 
     Always: tracking, drift, input(+bounds), phase. With ``data`` (training
     Snapshots): the training scatter. With ``recon=(x_true, x_hat)``: the
-    reconstruction subplots. When the log carries live Revise_2 certificate
-    monitors (``gamma`` nonzero): the full 11-figure Revise_2 counterpart
-    set (Revise_2/Koopman_update.m:479-563) — x1/x2/u are covered by
-    tracking+input, plus eps, V, dV, ellipsoid rings, gamma, gamma margin,
-    compensator, Compare_State, Minus_Set.
+    reconstruction subplots. With ``spectral=(model, dictionary)``: the
+    Koopman spectrum + eigenfunction gallery (pass the FINAL online model
+    to see what the updated operator learned). When the log carries live
+    Revise_2 certificate monitors (``gamma`` nonzero): the full 11-figure
+    Revise_2 counterpart set (Revise_2/Koopman_update.m:479-563) — x1/x2/u
+    are covered by tracking+input, plus eps, V, dV, ellipsoid rings, gamma,
+    gamma margin, compensator, Compare_State, Minus_Set.
     """
     plt = _plt()
 
@@ -262,6 +386,27 @@ def save_figure_bundle(
         _save(training_scatter(getattr(data, "x", data)), "training_scatter")
     if recon is not None:
         _save(reconstruction(recon[0], recon[1], h), "reconstruction")
+    if spectral is not None:
+        from .modes import spectral_decomposition
+
+        model, dictionary = spectral
+        # state grid sized to the visited trajectory (pad 25%)
+        lo, hi = x.min(axis=0), x.max(axis=0)
+        pad = 0.25 * np.maximum(hi - lo, 1e-3)
+        if x.shape[1] == 1:
+            ext = (float(lo[0] - pad[0]), float(hi[0] + pad[0]))
+        else:
+            ext = (
+                float(lo[0] - pad[0]), float(hi[0] + pad[0]),
+                float(lo[1] - pad[1]), float(hi[1] + pad[1]),
+            )
+        _save(
+            spectrum_plot(spectral_decomposition(model, h)), "spectrum"
+        )
+        _save(
+            eigenfunction_gallery(model, dictionary, h, extent=ext),
+            "eigenfunctions",
+        )
     gamma = np.asarray(getattr(log, "gamma", np.zeros(1)))
     if np.any(gamma != 0.0):
         _save(monitor_series(log.eps_state, r"$\epsilon$"), "epsilon")

@@ -24,7 +24,7 @@ def short_log():
     cfg.data = C.DataConfig(n_step=25, n_traj=25)
     pipe = build_pipeline(cfg)
     carry, log = run_single(pipe)
-    return carry, log
+    return pipe, carry, log
 
 
 def test_metrics():
@@ -36,7 +36,7 @@ def test_metrics():
 
 
 def test_archive_npz_and_mat(tmp_path, short_log):
-    _, log = short_log
+    _, _, log = short_log
     path = tmp_path / "bundle"
     archive_run(str(path), log, h=0.05, mat=True)
     data = np.load(str(path) + ".npz")
@@ -51,7 +51,7 @@ def test_archive_npz_and_mat(tmp_path, short_log):
 
 
 def test_pytree_checkpoint_roundtrip(tmp_path, short_log):
-    carry, _ = short_log
+    _, carry, _ = short_log
     path = str(tmp_path / "carry.npz")
     save_pytree(path, carry, meta=42)
     loaded, meta = load_pytree(path, carry)
@@ -66,8 +66,13 @@ def test_figure_bundle(tmp_path, short_log):
     pytest.importorskip("matplotlib")
     from koopmanx.eval.plots import save_figure_bundle
 
-    _, log = short_log
+    pipe, carry, log = short_log
     prefix = str(tmp_path / "fig")
-    save_figure_bundle(prefix, log, h=0.05, u_bounds=(-2, 2))
-    for suffix in ("tracking", "drift", "input", "phase"):
+    save_figure_bundle(
+        prefix, log, h=0.05, u_bounds=(-2, 2),
+        spectral=(carry.model, pipe.dictionary),
+    )
+    for suffix in (
+        "tracking", "drift", "input", "phase", "spectrum", "eigenfunctions"
+    ):
         assert os.path.getsize(f"{prefix}_{suffix}.png") > 1000

@@ -61,3 +61,43 @@ def test_spectrum_summary():
     )
     assert amps.shape == (8,)
     assert np.isfinite(amps).all()
+
+
+def test_eigenfunction_grid_koopman_invariance():
+    """phi_i(A z) = lambda_i phi_i(z) for every grid point — the defining
+    Koopman-eigenfunction property of the (linear-in-z) identified model,
+    checked on the same grid the gallery renders."""
+    from koopmanx.eval.plots import eigenfunction_grid
+
+    model, d = _model()
+    spec = spectral_decomposition(model)
+    pts, phi = eigenfunction_grid(
+        spec, d, extent=(-2.0, 2.0, -2.0, 2.0), resolution=12
+    )
+    z = np.asarray(
+        jax.vmap(d)(jnp.asarray(pts.reshape(-1, 2)))
+    )  # (S, N)
+    a = np.asarray(model.A, dtype=np.float64)
+    phi_flat = phi.reshape(-1, phi.shape[-1])
+    phi_adv = eigenfunctions(spec, z @ a.T)
+    np.testing.assert_allclose(
+        phi_adv, phi_flat * spec.eigenvalues[None, :], atol=1e-8
+    )
+
+
+def test_eigenfunction_gallery_and_spectrum_figures(tmp_path):
+    import pytest
+
+    pytest.importorskip("matplotlib")
+    from koopmanx.eval.plots import eigenfunction_gallery, spectrum_plot
+
+    model, d = _model()
+    fig = eigenfunction_gallery(model, d, resolution=24, top=6)
+    p1 = str(tmp_path / "eigfun.png")
+    fig.savefig(p1, dpi=80)
+    ax = spectrum_plot(spectral_decomposition(model))
+    p2 = str(tmp_path / "spec.png")
+    ax.figure.savefig(p2, dpi=80)
+    import os
+
+    assert os.path.getsize(p1) > 5000 and os.path.getsize(p2) > 5000

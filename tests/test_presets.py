@@ -42,3 +42,45 @@ def test_all_presets_build():
         back = C.RunConfig.from_json(cfg.to_json())
         assert back.system == cfg.system, name
         assert back.mpc.horizon == cfg.mpc.horizon, name
+
+
+def test_toy1d_multi_ic_openloop_recovery():
+    """The 1-D MATLAB script's validation protocol
+    (One_Dimensional_Toy_Example_Continuous_System.m:69-113): 5 initial
+    conditions linspace(-1, 1), 20 random-input steps (u ~ U[0,1], :82),
+    pure open-loop recovery x_hat = C z, z+ = A z + B u from the
+    2000-snapshot batch-EDMD model (:38-62); the script's average-MAE
+    figure (:108-112, commented) is bounded by its axis at 0.1."""
+    import jax
+
+    from koopmanx.eval.openloop import openloop_validate
+    from koopmanx.systems import get_system, make_step
+
+    cfg = C.PRESETS["toy1d"]()
+    cfg.dtype = "float64"
+    pipe = build_pipeline(cfg)  # full 2000-pair fit, as the script does
+    system = get_system("toy1d")
+    plant = jax.jit(make_step(system, 0.05, "rk4_matlab"))
+    rng = np.random.default_rng(44)
+    errs = []
+    for x0 in np.linspace(-1.0, 1.0, 5):
+        u_seq = rng.uniform(0.0, 1.0, size=(20, 1))
+        x = jnp.array([x0], dtype=jnp.float64)
+        xs = [np.asarray(x)]
+        for k in range(20):
+            x = plant(x, jnp.asarray(u_seq[k]), system.theta0)
+            xs.append(np.asarray(x))
+        x_truth = jnp.asarray(np.stack(xs))  # (21, 1) incl. x0
+        u_pad = jnp.asarray(np.vstack([u_seq, np.zeros((1, 1))]))
+        res = openloop_validate(pipe.model0, pipe.dictionary, x_truth, u_pad)
+        errs.append(np.abs(np.asarray(res.y_pred) - np.asarray(x_truth)))
+        # the script's commented every-2-steps re-encode recovery (:97-99):
+        # re-anchoring on the true state must not degrade the replay
+        res_re = openloop_validate(
+            pipe.model0, pipe.dictionary, x_truth, u_pad, reencode_every=2
+        )
+        assert float(res_re.rmse) <= float(res.rmse) + 1e-9
+    err = np.stack(errs)  # (5 ICs, 21 steps, 1)
+    avg_mae_per_step = err.mean(axis=0)  # the script's plotted series
+    assert np.isfinite(err).all()
+    assert avg_mae_per_step.max() < 0.1, avg_mae_per_step.ravel()
