@@ -80,6 +80,23 @@ def identity_dictionary(n: int) -> Dictionary:
     return Dictionary(lambda p, x: x, None, nlift=n, n=n)
 
 
+def constant_augmented(n: int) -> Dictionary:
+    """ψ(x) = [x; 1] — the affine Koopman lift.
+
+    The constant function is a Koopman eigenfunction (eigenvalue 1), so an
+    affine model ``x+ = A x + B u + d`` is EXACTLY the linear lifted model
+    ``[[A, d], [0, 1]]`` on this dictionary. Used by the local-linearization
+    MPC baseline (:mod:`koopmanx.engine.local_linear`) to run the
+    reference's Jacobian-model comparison (``duffing.py:691-706``) through
+    the SAME condensed-QP engine as every Koopman controller."""
+
+    def apply_fn(params, x):
+        one = jnp.ones(x.shape[:-1] + (1,), dtype=x.dtype)
+        return jnp.concatenate([x, one], axis=-1)
+
+    return Dictionary(apply_fn, None, nlift=n + 1, n=n)
+
+
 def state_augmented(inner: Dictionary, zero_offset: bool = False) -> Dictionary:
     """ψ(x) = [x; inner(x)], optionally minus its value at 0.
 

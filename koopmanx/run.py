@@ -192,6 +192,41 @@ def _mpc_params(cfg: C.RunConfig, dictionary: Dictionary, system) -> MPCParams:
     )
 
 
+def engine_config(cfg: C.RunConfig) -> EngineConfig:
+    """Translate a declarative RunConfig into the static EngineConfig the
+    engine builders consume (public: also used to run the local-linear
+    baseline or a custom loop under a preset's exact engine settings)."""
+    uc = cfg.update
+    return EngineConfig(
+        horizon=cfg.mpc.horizon,
+        steps=cfg.steps,
+        h=cfg.data.h,
+        integrator=cfg.integrator,
+        delta_u=cfg.mpc.delta_u,
+        track_lifted=cfg.mpc.track_lifted,
+        update=uc.mode,
+        c_pairing=uc.c_pairing,
+        rls_lambda=uc.forgetting,
+        rls_ridge=uc.ridge,
+        reset_mult=uc.reset_mult,
+        reset_factor=uc.reset_factor,
+        dither=uc.dither,
+        symmetrize=uc.symmetrize,
+        switch_step=cfg.switch_step,
+        markov=cfg.mpc.markov,
+        qp_iters=cfg.mpc.qp_iters,
+        qp_rho=cfg.mpc.qp_rho,
+        qp_unroll=cfg.mpc.qp_unroll,
+        qp_kkt_bf16=cfg.mpc.qp_kkt_bf16,
+        qp_backend=cfg.mpc.qp_backend,
+        terminal_synthesis=cfg.mpc.terminal_synthesis,
+        terminal_mode=cfg.mpc.terminal_mode,
+        state_bounds=cfg.mpc.state_bounds is not None,
+        unroll=cfg.unroll,
+        matmul_precision=cfg.matmul_precision,
+    )
+
+
 def _ref_fn(cfg: C.RunConfig, dictionary: Dictionary, py: int, dtype):
     mc = cfg.mpc
     n = get_system(cfg.system).n
@@ -324,34 +359,7 @@ def _build_pipeline_on_host(cfg: C.RunConfig, x_init=None) -> Pipeline:
     py = params.q_block.shape[0]
     ref_fn = _ref_fn(cfg, dictionary, py, dtype)
 
-    engine_cfg = EngineConfig(
-        horizon=cfg.mpc.horizon,
-        steps=cfg.steps,
-        h=cfg.data.h,
-        integrator=cfg.integrator,
-        delta_u=cfg.mpc.delta_u,
-        track_lifted=cfg.mpc.track_lifted,
-        update=uc.mode,
-        c_pairing=uc.c_pairing,
-        rls_lambda=uc.forgetting,
-        rls_ridge=uc.ridge,
-        reset_mult=uc.reset_mult,
-        reset_factor=uc.reset_factor,
-        dither=uc.dither,
-        symmetrize=uc.symmetrize,
-        switch_step=cfg.switch_step,
-        markov=cfg.mpc.markov,
-        qp_iters=cfg.mpc.qp_iters,
-        qp_rho=cfg.mpc.qp_rho,
-        qp_unroll=cfg.mpc.qp_unroll,
-        qp_kkt_bf16=cfg.mpc.qp_kkt_bf16,
-        qp_backend=cfg.mpc.qp_backend,
-        terminal_synthesis=cfg.mpc.terminal_synthesis,
-        terminal_mode=cfg.mpc.terminal_mode,
-        state_bounds=cfg.mpc.state_bounds is not None,
-        unroll=cfg.unroll,
-        matmul_precision=cfg.matmul_precision,
-    )
+    engine_cfg = engine_config(cfg)
     closed_loop = make_closed_loop(system, dictionary, engine_cfg, ref_fn)
     if x_init is None and cfg.x0 is not None:
         x_init = jnp.asarray(cfg.x0, dtype)  # preset-pinned initial state
