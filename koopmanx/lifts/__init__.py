@@ -1,4 +1,10 @@
-from .base import Dictionary, identity_dictionary, state_augmented, zero_offset
+from .base import (
+    Dictionary,
+    constant_augmented,
+    identity_dictionary,
+    state_augmented,
+    zero_offset,
+)
 from .mlp import (
     autoencoder_dictionary,
     encoder_dictionary,
