@@ -129,3 +129,49 @@ def test_legacy_train_exponent_quirk():
     want = float(np.mean(lin_legacy.sum(axis=0) / hor))
     np.testing.assert_allclose(float(l_lin_leg), want, rtol=1e-10)
     assert abs(float(l_lin_rol) - want) > 1e-6  # quirk differs from rollout
+
+
+def test_refscale_encoder_beats_reference_openloop():
+    """The shipped reference-scale self-trained encoder must be at least
+    as good as the reference's shipped encoder on the reference's own
+    open-loop metric (duffing.py:341-343 formula, :264-344 protocol:
+    EDMD fit on the 10k-snapshot training set, 500-step free run).
+
+    Pins VERDICT r2 item 1: artifacts/duffing_kmae_refscale_encoder.mat
+    (sweep winner, tools/sweep_kmae_r3.sh) measured 0.0332 vs the
+    reference encoder's 0.0391 — re-verified here end-to-end on CPU."""
+    import os
+
+    from koopmanx.edmd.batch import edmd_fit
+    from koopmanx.eval.openloop import openloop_validate
+    from koopmanx.lifts.base import fit_normalizer, normalized
+    from koopmanx.lifts.io import load_mat_mlp
+    from koopmanx.systems import collect, get_system
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ours_mat = os.path.join(
+        root, "artifacts", "duffing_kmae_refscale_encoder.mat"
+    )
+    ref_mat = "/root/reference/Revise_2/duffing_weights.mat"
+    if not (os.path.exists(ours_mat) and os.path.exists(ref_mat)):
+        pytest.skip("refscale or reference artifact not present")
+
+    system = get_system("duffing")
+    data = collect(system, jax.random.PRNGKey(0), n_step=100, n_traj=100)
+    rollout = collect(system, jax.random.PRNGKey(2), n_step=500, n_traj=1)
+
+    def rmse_of(mat_path):
+        enc = load_mat_mlp(mat_path, dtype=jnp.float64)
+        d = encoder_dictionary(enc, n=system.n)
+        mu, sc = fit_normalizer(d, data.x)
+        dn = normalized(d, mu, sc)
+        model = edmd_fit(dn, data, method="pinv")
+        res = openloop_validate(model, dn, rollout.x, rollout.u)
+        return float(res.rmse_ref)
+
+    ours = rmse_of(ours_mat)
+    theirs = rmse_of(ref_mat)
+    assert np.isfinite(ours) and np.isfinite(theirs)
+    assert ours <= theirs, (ours, theirs)
+    # and comfortably so (measured ~15% better; allow drift to 2%)
+    assert ours <= 0.98 * theirs, (ours, theirs)
