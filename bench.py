@@ -47,6 +47,8 @@ def main():
     cfg.mpc.qp_iters = int(os.environ.get("BENCH_QP_ITERS", str(cfg.mpc.qp_iters)))
     cfg.mpc.qp_backend = os.environ.get("BENCH_QP_BACKEND", "xla")
     cfg.mpc.qp_kkt_bf16 = bool(int(os.environ.get("BENCH_KKT_BF16", "0")))
+    cfg.mpc.qp_kkt_refine = int(os.environ.get("BENCH_KKT_REFINE", "0"))
+    cfg.mpc.qp_kkt_reanchor = int(os.environ.get("BENCH_KKT_REANCHOR", "16"))
     prec = os.environ.get("BENCH_PRECISION")
     if prec:
         cfg.matmul_precision = prec

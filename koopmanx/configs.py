@@ -61,6 +61,13 @@ class MPCConfig:
     qp_rho: float = 0.1
     qp_unroll: int = 10  # ADMM-iteration scan unroll (perf, semantics-neutral)
     qp_kkt_bf16: bool = False  # stream the KKT inverse at bf16 (see ADMMConfig)
+    # carried Newton-Schulz KKT inverse (box path): >0 = NS iterations per
+    # step refining last step's inverse instead of re-eliminating (the
+    # step's dominant HBM stream); exact re-anchor every qp_kkt_reanchor
+    # steps. 0 (default) = exact inversion every step (parity semantics).
+    # See EngineConfig.qp_kkt_refine.
+    qp_kkt_refine: int = 0
+    qp_kkt_reanchor: int = 16
     # 'xla' | 'pallas'. 'pallas' (VMEM-resident box-ADMM kernel) is
     # EXPERIMENTAL: parity-tested but measured SLOWER than the fused-XLA
     # path at production shapes (BENCHMARKS.md "Fused-kernel study") —

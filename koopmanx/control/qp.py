@@ -127,6 +127,15 @@ def solve_qp_batch(qp: QPData, cfg: ADMMConfig = ADMMConfig(), x0=None, y0=None)
     return jax.vmap(lambda q, a, b: fn(q, x0=a, y0=b), in_axes=in_axes)(qp, x0, y0)
 
 
+def box_kkt(p: Array, cfg: ADMMConfig) -> Array:
+    """The box-path ADMM KKT matrix P + (sigma + rho(P)) I — exposed so the
+    engine's carried-inverse mode (EngineConfig.qp_kkt_refine) builds the
+    SAME matrix the solver would."""
+    nx = p.shape[-1]
+    rho = _effective_rho(p, cfg)
+    return p + (cfg.sigma + rho) * jnp.eye(nx, dtype=p.dtype)
+
+
 def solve_box_qp(
     p: Array,
     q: Array,
@@ -135,12 +144,16 @@ def solve_box_qp(
     cfg: ADMMConfig = ADMMConfig(),
     x0: Optional[Array] = None,
     y0: Optional[Array] = None,
+    kkt_inv: Optional[Array] = None,
 ) -> QPSolution:
     """Box-constrained fast path (A = I): the KKT solve shrinks to
     (P + (sigma+rho) I)^{-1} and no constraint matmuls are needed.
 
     This is the hot path for the Duffing/VDP loops whose only constraints
     are input bounds (duffing.py:636 bounds ±2, vanderpol.py:542 ±6).
+
+    ``kkt_inv``: caller-supplied inverse of :func:`box_kkt` (the engine's
+    Newton-Schulz tracking inverse); None = exact Gauss-Jordan here.
     """
     nx = p.shape[-1]
     dtype = p.dtype
@@ -150,7 +163,8 @@ def solve_box_qp(
 
     rho = _effective_rho(p, cfg)
     sigma, alpha = cfg.sigma, cfg.alpha
-    kkt_inv = spd_inverse(p + (sigma + rho) * jnp.eye(nx, dtype=dtype))
+    if kkt_inv is None:
+        kkt_inv = spd_inverse(p + (sigma + rho) * jnp.eye(nx, dtype=dtype))
     if cfg.kkt_bf16:
         kkt_inv = kkt_inv.astype(jnp.bfloat16)
 
@@ -246,8 +260,9 @@ def make_box_qp_solver(cfg: ADMMConfig, backend: str = "xla"):
     ``examples/tune_weights.py``).
     """
     if backend != "pallas":
-        def solve_plain(p, q, lo, hi, x0, y0):
-            return solve_box_qp(p, q, lo, hi, cfg, x0=x0, y0=y0)
+        def solve_plain(p, q, lo, hi, x0, y0, kkt_inv=None):
+            return solve_box_qp(p, q, lo, hi, cfg, x0=x0, y0=y0,
+                                kkt_inv=kkt_inv)
 
         return solve_plain
 

@@ -42,6 +42,7 @@ from .core import (
     MPCParams,
     change_reset,
     initial_cert,
+    initial_kkt_inv,
     make_control_solver,
     make_estimator_update,
 )
@@ -58,6 +59,7 @@ class ControllerState(NamedTuple):
     have_prev: Array  # bool scalar: first call has no (z, u, z+) pair yet
     res_ema: Array  # change-detection running residual average
     cert: Any  # last sane terminal certificate (P, K, gamma) or ()
+    kkt_inv: Any = ()  # carried ADMM KKT inverse (cfg.qp_kkt_refine) or ()
 
 
 def _select(new, old, pred):
@@ -115,7 +117,7 @@ def make_step_fn(dictionary: Dictionary, cfg: EngineConfig, ref_fn):
             # ---- shared control body (identical to the loop's) ----
             dec = solve(
                 params, model, state.cert, x, z, state.u_prev,
-                state.warm_x, state.warm_y, step_idx,
+                state.warm_x, state.warm_y, step_idx, state.kkt_inv,
             )
 
             new_state = ControllerState(
@@ -129,6 +131,7 @@ def make_step_fn(dictionary: Dictionary, cfg: EngineConfig, ref_fn):
                 have_prev=jnp.asarray(True),
                 res_ema=res_ema,
                 cert=dec.cert,
+                kkt_inv=dec.kkt_inv,
             )
             return new_state, dec.u_applied
 
@@ -160,6 +163,7 @@ def initial_state(dictionary: Dictionary, cfg: EngineConfig,
         have_prev=jnp.asarray(False),
         res_ema=jnp.zeros((), dtype),
         cert=initial_cert(cfg, params, dictionary.nlift, m, dtype),
+        kkt_inv=initial_kkt_inv(cfg, m, dtype),
     )
 
 

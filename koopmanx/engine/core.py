@@ -38,7 +38,8 @@ from ..control.condensed import (
     prediction_matrices,
     weight_bar,
 )
-from ..control.qp import ADMMConfig, make_box_qp_solver, solve_qp
+from ..control.qp import ADMMConfig, box_kkt, make_box_qp_solver, solve_qp
+from ..ops.linalg import ns_tracking_inverse, spd_inverse
 from ..control.lmi import solve_terminal_lmi
 from ..control.terminal import synthesize_terminal
 from ..edmd.windowed import window_model, window_update
@@ -117,6 +118,18 @@ class EngineConfig:
     qp_kkt_bf16: bool = False
     # lax.scan unroll for the ADMM iteration body (ADMMConfig.unroll)
     qp_unroll: int = 10
+    # Carried Newton-Schulz KKT inverse (box path only): >0 replaces the
+    # per-step exact Gauss-Jordan inversion of the ADMM KKT matrix — the
+    # step's dominant HBM stream (BENCHMARKS.md round-2 roofline) — with
+    # qp_kkt_refine NS refinement iterations of LAST step's inverse
+    # (ops/linalg.ns_tracking_inverse: quadratic convergence, the model
+    # drifts O(1e-3)/step so 2-3 iterations reach f32 exactness). Every
+    # qp_kkt_reanchor steps an exact inversion re-anchors the tracker
+    # (unbatched lax.cond on the step index — only the anchor steps pay
+    # it), bounding any post-shock staleness to one period. 0 = exact
+    # inversion every step (the parity default).
+    qp_kkt_refine: int = 0
+    qp_kkt_reanchor: int = 16
     # Change detection / re-adaptation: when the one-step lifted residual
     # spikes above reset_mult x its running average (EMA), the plant has
     # changed — scale the RLS sufficient statistics by reset_factor
@@ -251,6 +264,7 @@ class ControlDecision(NamedTuple):
     cert: Any  # guarded (P, K, gamma) tuple, or () when synthesis off
     cert_ok: Array  # bool: this step's synthesis passed the guard
     r_window: Array  # (horizon, py) reference window used
+    kkt_inv: Any = ()  # carried KKT inverse (qp_kkt_refine mode) or ()
     p_lyap: Optional[Array] = None
     cert_k: Optional[Array] = None
     cert_gamma: Optional[Array] = None
@@ -292,10 +306,16 @@ def make_control_solver(dictionary: Dictionary, cfg: EngineConfig, ref_fn,
     horizon = cfg.horizon
     qp_cfg = cfg.qp_config
     box_solver = make_box_qp_solver(qp_cfg, backend=cfg.qp_backend)
+    if cfg.qp_kkt_refine > 0 and cfg.qp_backend == "pallas":
+        raise ValueError(
+            "qp_kkt_refine (carried KKT inverse) requires qp_backend='xla' "
+            "(the Pallas kernel computes its own inverses)"
+        )
 
     def control_solve(params: MPCParams, model: LinearModel, cert: Any,
                       x: Array, z: Array, u_prev: Array, warm_x: Array,
-                      warm_y: Array, step: Array) -> ControlDecision:
+                      warm_y: Array, step: Array,
+                      kkt_prev: Any = ()) -> ControlDecision:
         n = model.C.shape[0]  # plant state dim (C maps z -> x)
 
         # ---- controller model (Δu augmentation happens on the *current*
@@ -444,13 +464,37 @@ def make_control_solver(dictionary: Dictionary, cfg: EngineConfig, ref_fn,
                 else zeros_x
             )
             y0 = warm_y if cfg.qp_warm_start == "full" else zeros_x
-            sol = box_solver(qp.P, qp.q, lo, hi, x0, y0)
+            if cfg.qp_kkt_refine > 0:
+                # carried-inverse mode: Newton-Schulz refinement of last
+                # step's KKT inverse; exact Gauss-Jordan re-anchor every
+                # qp_kkt_reanchor steps. `step` is unbatched (scan index
+                # shared by all vmapped scenarios), so the cond is a REAL
+                # branch even under the scenario vmap — anchor steps pay
+                # the elimination, every other step pays 2*refine batched
+                # matmuls instead.
+                kkt = box_kkt(qp.P, qp_cfg)
+                kkt_inv = jax.lax.cond(
+                    step % cfg.qp_kkt_reanchor == 0,
+                    lambda ops: spd_inverse(ops[0]),
+                    lambda ops: ns_tracking_inverse(
+                        ops[0], ops[1], cfg.qp_kkt_refine
+                    ),
+                    (kkt, kkt_prev),
+                )
+                sol = box_solver(qp.P, qp.q, lo, hi, x0, y0, kkt_inv)
+                new_kkt = kkt_inv
+            else:
+                sol = box_solver(qp.P, qp.q, lo, hi, x0, y0)
+                new_kkt = kkt_prev
         elif cfg.qp_warm_start == "full":
             sol = solve_qp(qp, qp_cfg, x0=warm_x, y0=warm_y)
+            new_kkt = kkt_prev
         elif cfg.qp_warm_start == "primal":
             sol = solve_qp(qp, qp_cfg, x0=warm_x)
+            new_kkt = kkt_prev
         else:
             sol = solve_qp(qp, qp_cfg)
+            new_kkt = kkt_prev
         # project the applied move onto its box (the ADMM x-iterate is only
         # asymptotically feasible; actuator saturation is exact projection);
         # a non-finite solve (guarded model pathologies) falls back to 0
@@ -494,6 +538,7 @@ def make_control_solver(dictionary: Dictionary, cfg: EngineConfig, ref_fn,
             cert=new_cert,
             cert_ok=cert_ok,
             r_window=r_window,
+            kkt_inv=new_kkt,
             p_lyap=p_lyap,
             cert_k=cert_k,
             cert_gamma=cert_gamma,
@@ -503,6 +548,16 @@ def make_control_solver(dictionary: Dictionary, cfg: EngineConfig, ref_fn,
         )
 
     return control_solve
+
+
+def initial_kkt_inv(cfg: EngineConfig, m: int, dtype) -> Any:
+    """Seed for the carried KKT inverse: zeros — step 0 always hits the
+    exact re-anchor (0 % reanchor == 0), so the seed is never consumed.
+    ``()`` when the mode is off."""
+    if cfg.qp_kkt_refine <= 0:
+        return ()
+    n_dec = cfg.horizon * m
+    return jnp.zeros((n_dec, n_dec), dtype)
 
 
 def make_estimator_update(dictionary: Dictionary, cfg: EngineConfig):

@@ -42,6 +42,7 @@ from .core import (  # re-exported for compatibility (public config surface)
     _tree_finite,
     change_reset,
     initial_cert,
+    initial_kkt_inv,
     make_control_solver,
     make_estimator_update,
 )
@@ -71,6 +72,8 @@ class LoopCarry(NamedTuple):
     # the previous certificate, same layering as model_guard. A scalar
     # zeros dummy when cfg.terminal_synthesis is off.
     cert: Any = ()
+    # carried ADMM KKT inverse (cfg.qp_kkt_refine > 0), else ()
+    kkt_inv: Any = ()
 
 
 class StepLog(NamedTuple):
@@ -128,7 +131,7 @@ def make_closed_loop(
         # ---- shared control body: encode'd state -> applied input ----
         dec = control_solve(
             params, model, carry.cert, x, z, u_prev,
-            carry.warm_x, carry.warm_y, step,
+            carry.warm_x, carry.warm_y, step, carry.kkt_inv,
         )
         u_applied = dec.u_applied
         sol = dec.sol
@@ -242,6 +245,7 @@ def make_closed_loop(
             warm_y=sol.y,
             res_ema=res_ema,
             cert=dec.cert,
+            kkt_inv=dec.kkt_inv,
         )
         log = StepLog(
             x=x,
@@ -299,6 +303,7 @@ def make_closed_loop(
                 warm_y=jnp.zeros((nc,), dtype),
                 res_ema=jnp.zeros((), dtype),
                 cert=initial_cert(cfg, params, dictionary.nlift, m, dtype),
+                kkt_inv=initial_kkt_inv(cfg, m, dtype),
             )
 
         def body(carry, step):

@@ -97,3 +97,53 @@ def gj_solve(a: Array, b: Array) -> Array:
     """
     x = gj_inverse(a) @ b
     return x
+
+
+def ns_tracking_inverse(
+    k: Array, x_prev: Array, iters: int, safe_thresh: float = 0.5
+) -> Array:
+    """Newton-Schulz TRACKING inverse: refine last step's inverse of a
+    slowly-drifting SPD matrix instead of re-eliminating from scratch.
+
+    The closed-loop engine re-inverts the ADMM KKT matrix every control
+    step, but the model (hence K) moves only O(drift) per step — so the
+    previous inverse X has residual E = ||I - K X||_F << 1 and Newton-
+    Schulz (X <- X (2I - K X), quadratic: E -> E^2) reaches f32 exactness
+    in 2-3 iterations of BATCHED MATMULS. vs the pivot-free Gauss-Jordan
+    (:func:`spd_inverse`): n sequential full-matrix eliminations streaming
+    the augmented matrix from HBM each time (the measured dominant stream
+    of the step, BENCHMARKS.md round-2 roofline) become 2*iters MXU
+    matmuls touching ~1/8 the bytes.
+
+    Safeguard (branch-free, per matrix — batched callers vmap this): seed
+    from whichever of {carried inverse, cold seed X0 = I/||K||_F} has the
+    smaller Frobenius residual. The cold seed is guaranteed convergent for
+    SPD K (residual eigenvalues 1 - lambda_i/||K||_F all in [0, 1)), so a
+    stale/non-finite carry (e.g. right after a plant switch) restarts
+    cleanly, while a converging-but-not-yet-converged carry is never
+    thrown away (a fixed threshold would mis-fire here: the cold seed's
+    Frobenius residual is ~sqrt(n) even though its spectral radius < 1).
+    Combined with the engine's periodic exact re-anchoring
+    (EngineConfig.qp_kkt_reanchor) any bad stretch is bounded to one
+    period. Shapes: (n, n), (n, n) -> (n, n). ``safe_thresh`` additionally
+    forces the cold seed whenever the carried residual exceeds it AND the
+    cold residual (belt over braces for adversarial carries).
+    """
+    n = k.shape[-1]
+    dtype = k.dtype
+    eye = jnp.eye(n, dtype=dtype)
+    k_fro = jnp.maximum(
+        jnp.sqrt(jnp.sum(k * k)), jnp.asarray(1e-30, dtype)
+    )
+    x0_safe = eye / k_fro
+    r_prev = eye - k @ x_prev
+    e_prev = jnp.sqrt(jnp.sum(r_prev * r_prev))
+    r_cold = eye - k / k_fro
+    e_cold = jnp.sqrt(jnp.sum(r_cold * r_cold))
+    use_prev = jnp.isfinite(e_prev) & (e_prev < jnp.minimum(e_cold, n * 1.0))
+    x = jnp.where(use_prev, x_prev, x0_safe)
+    for _ in range(iters):
+        x = x @ (2.0 * eye - k @ x)
+    # NS preserves symmetry only up to rounding; the ADMM relies on a
+    # symmetric KKT inverse (same contract as spd_inverse)
+    return 0.5 * (x + jnp.swapaxes(x, -1, -2))

@@ -218,6 +218,8 @@ def engine_config(cfg: C.RunConfig) -> EngineConfig:
         qp_rho=cfg.mpc.qp_rho,
         qp_unroll=cfg.mpc.qp_unroll,
         qp_kkt_bf16=cfg.mpc.qp_kkt_bf16,
+        qp_kkt_refine=cfg.mpc.qp_kkt_refine,
+        qp_kkt_reanchor=cfg.mpc.qp_kkt_reanchor,
         qp_backend=cfg.mpc.qp_backend,
         terminal_synthesis=cfg.mpc.terminal_synthesis,
         terminal_mode=cfg.mpc.terminal_mode,
