@@ -169,3 +169,37 @@ def test_batched_controller_matches_single():
         )
         xs = [plant(xs[i], u_s[i], th0) for i in range(batch)]
         x_b = jnp.stack(xs)
+
+
+def test_batched_controller_heterogeneous_params():
+    """batch_params=True: per-plant MPCParams (different R weights) under
+    one vmapped step — plants must receive genuinely different inputs."""
+    cfg = _small_duffing()
+    pipe = build_pipeline(cfg)
+    from koopmanx.run import _dtype, _ref_fn
+
+    ref_fn = _ref_fn(
+        pipe.config, pipe.dictionary, pipe.params.q_block.shape[0],
+        _dtype(pipe.config),
+    )
+    batch = 3
+    # scale the input weight enough that the heavier plants leave the
+    # u_max=2 saturation from x0=[-2,-2] (base r_weight is 1e-4)
+    scales = jnp.array([1.0, 1e7, 1e9], dtype=pipe.params.r_block.dtype)
+    params_b = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (batch,) + a.shape), pipe.params
+    )
+    params_b = params_b._replace(
+        r_block=params_b.r_block * scales[:, None, None]
+    )
+    bc = BatchedController(
+        pipe.dictionary, pipe.engine_cfg, params_b, ref_fn,
+        pipe.model0, pipe.rls0, batch=batch, batch_params=True,
+    )
+    x_b = jnp.broadcast_to(pipe.x_init, (batch,) + pipe.x_init.shape)
+    u1 = bc.step(x_b)
+    u2 = bc.step(x_b)  # second call exercises the update path too
+    u = np.asarray(u1)
+    assert np.isfinite(np.asarray(u2)).all()
+    # heavier input penalty -> strictly smaller first move
+    assert abs(u[0, 0]) > abs(u[1, 0]) > abs(u[2, 0]), u[:, 0]
