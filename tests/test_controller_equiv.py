@@ -203,3 +203,13 @@ def test_batched_controller_heterogeneous_params():
     assert np.isfinite(np.asarray(u2)).all()
     # heavier input penalty -> strictly smaller first move
     assert abs(u[0, 0]) > abs(u[1, 0]) > abs(u[2, 0]), u[:, 0]
+
+
+def test_controller_equiv_kkt_refine():
+    """The carried-NS KKT inverse mode (qp_kkt_refine) is threaded through
+    BOTH harnesses identically: the serving controller must reproduce the
+    fused loop with the mode on (same anchor schedule via the step index)."""
+    cfg = _small_duffing()
+    cfg.mpc.qp_kkt_refine = 3
+    cfg.mpc.qp_kkt_reanchor = 16
+    _assert_equiv(cfg)
