@@ -279,6 +279,50 @@ def cmd_sweep(args):
     )
 
 
+def cmd_modes(args):
+    """Koopman spectral analysis of a preset's identified operator: print
+    the spectrum summary (the reference's duffing.py:627/:659-665 sanity
+    numbers) and optionally save the eigenfunction gallery + spectrum
+    figures (plotDuffingScatter counterpart)."""
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from . import configs as C
+    from .eval.modes import spectrum_summary
+    from .run import build_pipeline, run_single
+
+    cfg = C.PRESETS[args.preset]()
+    if args.steps:
+        cfg.steps = args.steps
+    cfg = _apply_overrides(cfg, args.override or [])
+    if cfg.dtype == "float64" and not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+    pipe = build_pipeline(cfg)
+    model = pipe.model0
+    label = "batch-EDMD model"
+    if args.final:
+        carry, _ = run_single(pipe)
+        model = jax.tree_util.tree_map(lambda a: a, carry.model)
+        label = f"online model after {cfg.steps} steps"
+    summary = spectrum_summary(model, h=cfg.data.h)
+    summary["model"] = label
+    print(json.dumps(summary, indent=2))
+    if args.figures:
+        from .eval.plots import eigenfunction_gallery, spectrum_plot
+        from .eval.modes import spectral_decomposition
+
+        fig = eigenfunction_gallery(
+            model, pipe.dictionary, h=cfg.data.h, top=args.top
+        )
+        fig.savefig(f"{args.figures}_eigenfunctions.png", dpi=130)
+        ax = spectrum_plot(spectral_decomposition(model, h=cfg.data.h))
+        ax.figure.savefig(f"{args.figures}_spectrum.png", dpi=130)
+        print(f"wrote {args.figures}_eigenfunctions.png, "
+              f"{args.figures}_spectrum.png")
+
+
 def cmd_presets(args):
     from . import configs as C
 
@@ -347,6 +391,21 @@ def main(argv=None):
     ps.add_argument("--override", "-o", action="append")
     ps.add_argument("--cpu", action="store_true")
     ps.set_defaults(fn=cmd_sweep)
+
+    pm = sub.add_parser(
+        "modes", help="Koopman spectrum + eigenfunction analysis of a preset"
+    )
+    pm.add_argument("--preset", default="duffing")
+    pm.add_argument("--steps", type=int, default=None)
+    pm.add_argument("--final", action="store_true",
+                    help="analyze the online-updated model after a run "
+                         "(default: the batch-EDMD model)")
+    pm.add_argument("--figures", default=None,
+                    help="prefix for eigenfunction/spectrum PNGs")
+    pm.add_argument("--top", type=int, default=8)
+    pm.add_argument("--cpu", action="store_true")
+    pm.add_argument("-o", "--override", action="append")
+    pm.set_defaults(fn=cmd_modes)
 
     pp = sub.add_parser("presets", help="list reference-scenario presets")
     pp.add_argument("--verbose", "-v", action="store_true")

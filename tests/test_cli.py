@@ -72,3 +72,20 @@ def test_cli_validate(capsys):
     )
     out = json.loads(capsys.readouterr().out)
     assert np.isfinite(out["rmse_reference_formula"])
+
+
+def test_cli_modes_subcommand(tmp_path, capsys):
+    from koopmanx.cli import main
+
+    prefix = str(tmp_path / "m")
+    main([
+        "modes", "--preset", "duffing", "--cpu",
+        "-o", "data.n_step=30", "-o", "data.n_traj=30",
+        "--figures", prefix, "--top", "4",
+    ])
+    out = capsys.readouterr().out
+    assert '"controllability_rank"' in out and '"spectral_radius"' in out
+    import os
+
+    assert os.path.getsize(prefix + "_eigenfunctions.png") > 5000
+    assert os.path.getsize(prefix + "_spectrum.png") > 5000
