@@ -20,6 +20,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
@@ -44,7 +46,11 @@ def main():
     from koopmanx.run import build_pipeline
     from koopmanx.systems import get_system
 
-    cfg = C.duffing_nn_preset()
+    # BENCH_PRESET switches the benched workload (duffing = the headline;
+    # tank exercises the delta-u + general-inequality QP path, vanderpol
+    # the lifted-tracking path) — same harness, same metric semantics.
+    preset = os.environ.get("BENCH_PRESET", "duffing")
+    cfg = C.PRESETS[preset]()
     cfg.steps = steps
     cfg.dtype = "float32"
     cfg.unroll = int(os.environ.get("BENCH_UNROLL", "8"))
@@ -59,12 +65,18 @@ def main():
         cfg.matmul_precision = prec
     cfg.mpc.horizon = horizon
     cfg.switch_step = steps // 2  # live time-varying parameters mid-run
-    cfg.data = C.DataConfig(n_step=50, n_traj=50)
-    cfg.lift = C.LiftConfig(kind="mlp", nlift=8)
+    if preset == "duffing":
+        cfg.data = C.DataConfig(n_step=50, n_traj=50)
+        cfg.lift = C.LiftConfig(kind="mlp", nlift=8)
+    else:
+        cfg.data = dataclasses.replace(cfg.data, n_step=50, n_traj=50)
     pipe = build_pipeline(cfg)
 
+    # tank levels are non-negative (sqrt dynamics) — sample x0 >= 0 there
+    x0r = (0.0, 2.0) if cfg.system == "tank" else (-2.0, 2.0)
     batch_sc = sample_scenarios(
-        get_system("duffing"), jax.random.PRNGKey(0), batch=batch,
+        get_system(cfg.system), jax.random.PRNGKey(0), batch=batch,
+        x0_range=x0r,
         param_scale=0.15, dtype=jnp.float32,
     )
     rep = lambda v: jnp.broadcast_to(v, (batch,) + v.shape)
@@ -93,7 +105,7 @@ def main():
     solves_per_s = solves / best
     per_step_ms = best / steps * 1e3
     result = {
-        "metric": f"MPC solves/s/chip (Duffing, N={horizon} horizon, online RLS, batch={batch})",
+        "metric": f"MPC solves/s/chip ({preset}, N={horizon} horizon, online update, batch={batch})",
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / PER_CHIP_BASELINE, 3),
