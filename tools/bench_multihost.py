@@ -119,11 +119,17 @@ _WORKER = textwrap.dedent(
 
     trace("compile/warm run")
     run()  # compile + warm
-    barrier("bench_start")
-    t0 = time.perf_counter()
-    logs = run()
-    barrier("bench_end")  # global completion (loop has no cross-proc collective)
-    wall = time.perf_counter() - t0
+    # best-of-N: single timings on a 2-core shared host bounce +-20%
+    # (background daemons, DRAM arbitration); the minimum is the stable
+    # capacity estimate
+    reps = int(os.environ.get("KX_REPS", "5"))
+    wall = float("inf")
+    for r_i in range(reps):
+        barrier(f"bench_start_{r_i}")
+        t0 = time.perf_counter()
+        logs = run()
+        barrier(f"bench_end_{r_i}")  # global completion (no cross-proc collective in-loop)
+        wall = min(wall, time.perf_counter() - t0)
     b_global = b_local * nproc
     solves_per_s = b_global * steps / wall
 
@@ -181,13 +187,18 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def run_config(nproc: int, local_batch: int, steps: int, dev_per_proc: int):
+def run_config(nproc: int, local_batch: int, steps: int, dev_per_proc: int,
+               pin_cores: bool = False, distributed: bool = True):
+    """``distributed=False`` co-runs nproc INDEPENDENT single-process
+    workers (no jax.distributed, no coordinator) — the hardware-contention
+    baseline that separates shared-DRAM/core effects from the actual
+    process-boundary (coordination + collective) overhead."""
     port = _free_port()
     env_base = {
         **os.environ,
         "KX_REPO": REPO,
         "KX_COORD": f"127.0.0.1:{port}",
-        "KX_NPROC": str(nproc),
+        "KX_NPROC": str(nproc if distributed else 1),
         "KX_STEPS": str(steps),
         "KX_LOCAL_BATCH": str(local_batch),
         "JAX_PLATFORMS": "cpu",
@@ -200,14 +211,21 @@ def run_config(nproc: int, local_batch: int, steps: int, dev_per_proc: int):
     os.makedirs(logdir, exist_ok=True)
     procs, logs = [], []
     for rank in range(nproc):
-        env = {**env_base, "KX_RANK": str(rank)}
-        path = os.path.join(logdir, f"multihost_p{nproc}_r{rank}.log")
+        env = {**env_base, "KX_RANK": str(rank if distributed else 0)}
+        tag = f"p{nproc}" if distributed else f"corun{nproc}"
+        path = os.path.join(logdir, f"multihost_{tag}_r{rank}.log")
         f = open(path, "w")
         logs.append(path)
+        cmd = [sys.executable, "-u", "-c", _WORKER]
+        if pin_cores:
+            # one dedicated core per rank: the FAIR weak-scaling setup
+            # (resources per process constant as P grows) — without it
+            # P=1 grabs every core and P=2 fights over them, understating
+            # the process-boundary efficiency on small hosts
+            cmd = ["taskset", "-c", str(rank)] + cmd
         procs.append(
             subprocess.Popen(
-                [sys.executable, "-u", "-c", _WORKER],
-                env=env, stdout=f, stderr=subprocess.STDOUT,
+                cmd, env=env, stdout=f, stderr=subprocess.STDOUT,
             )
         )
     failed = []
@@ -228,12 +246,28 @@ def run_config(nproc: int, local_batch: int, steps: int, dev_per_proc: int):
                 tail = f.read()[-2000:]
             msgs.append(f"--- rank {rank} ({why}) tail of {logs[rank]}:\n{tail}")
         raise RuntimeError("worker(s) failed:\n" + "\n".join(msgs))
-    result = None
-    with open(logs[0]) as f:
-        for line in f:
-            if line.startswith("{"):
-                result = json.loads(line)
-    return result
+    results = []
+    for path in logs:
+        r = None
+        with open(path) as f:
+            for line in f:
+                if line.startswith("{"):
+                    r = json.loads(line)
+        results.append(r)
+    if distributed or nproc == 1:
+        return results[0]
+    # co-run: combined weak-scaling throughput = total solves / slowest
+    total = sum(r["batch_global"] * r["steps"] for r in results)
+    wall = max(r["wall_s"] for r in results)
+    return {
+        "procs": nproc,
+        "independent": True,
+        "batch_global": sum(r["batch_global"] for r in results),
+        "steps": results[0]["steps"],
+        "wall_s": round(wall, 4),
+        "solves_per_s": round(total / wall, 1),
+        "finite": all(r["finite"] for r in results),
+    }
 
 
 def main():
@@ -242,15 +276,29 @@ def main():
     ap.add_argument("--steps", type=int, default=40)
     ap.add_argument("--procs", type=int, default=2)
     ap.add_argument("--dev-per-proc", type=int, default=1)
+    ap.add_argument("--no-pin", action="store_true",
+                    help="disable per-rank core pinning (the pre-r3, "
+                         "oversubscribed measurement)")
     args = ap.parse_args()
 
-    single = run_config(1, args.batch, args.steps, args.dev_per_proc)
-    multi = run_config(args.procs, args.batch, args.steps, args.dev_per_proc)
+    pin = (not args.no_pin) and os.cpu_count() >= args.procs
+    single = run_config(1, args.batch, args.steps, args.dev_per_proc,
+                        pin_cores=pin)
+    corun = run_config(args.procs, args.batch, args.steps,
+                       args.dev_per_proc, pin_cores=pin, distributed=False)
+    multi = run_config(args.procs, args.batch, args.steps,
+                       args.dev_per_proc, pin_cores=pin)
     eff = multi["solves_per_s"] / (args.procs * single["solves_per_s"])
+    eff_hw = corun["solves_per_s"] / (args.procs * single["solves_per_s"])
+    eff_boundary = multi["solves_per_s"] / corun["solves_per_s"]
     print(json.dumps({
         "single_process": single,
+        "independent_corun": corun,
         "multi_process": multi,
         "weak_scaling_efficiency": round(eff, 3),
+        "hardware_contention_efficiency": round(eff_hw, 3),
+        "process_boundary_efficiency": round(eff_boundary, 3),
+        "cores_pinned_per_rank": pin,
         "caveat": (
             "localhost CPU: shared cores depress efficiency, loopback gRPC "
             "inflates psum latency vs real DCN; this validates the "
