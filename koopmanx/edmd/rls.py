@@ -373,13 +373,23 @@ def gram_rls_update(
     )
 
 
-def schulz_inverse(a: Array, iters: int = 24) -> Array:
+def schulz_inverse(a: Array, iters: int = 24, unroll: int = 8) -> Array:
     """Newton–Schulz iterative inverse: X <- X (2I - A X), seeded with
     X0 = A^T / (||A||_1 ||A||_inf) (globally convergent). Pure matmuls —
     the fastest way to invert small batched SPD matrices on TPU (batched
     triangular solves lower to sequential per-column loops and measured
-    ~10 ms/step at batch 2048; 24 Schulz iterations are ~50 fused GEMMs
-    at ~0.1 ms). Quadratic convergence: ~log2(cond) + 3 iterations."""
+    ~10 ms/step at batch 2048). Quadratic convergence: ~log2(cond) + 3
+    iterations.
+
+    ``unroll``: scan unroll for the iteration body — at engine-batch
+    shapes the per-iteration while-loop carry copy of the (B, d, d)
+    iterate dominates the two tiny matmuls (measured 12 ms/step per
+    24-iteration chain on the tank loop at batch 4096, 2026-08-20).
+
+    Scale-equivariance note (exploited by the windowed refit): the seed
+    normalizes by each matrix's OWN norms and X_k(c A) = X_k(A)/c exactly,
+    so block-stacking several matrices into one batched call produces the
+    SAME per-matrix trajectories as separate calls."""
     d = a.shape[-1]
     norm1 = jnp.max(jnp.sum(jnp.abs(a), axis=-2), axis=-1)
     norminf = jnp.max(jnp.sum(jnp.abs(a), axis=-1), axis=-1)
@@ -389,7 +399,8 @@ def schulz_inverse(a: Array, iters: int = 24) -> Array:
     def body(x, _):
         return x @ (eye2 - a @ x), None
 
-    x, _ = jax.lax.scan(body, x, None, length=iters)
+    x, _ = jax.lax.scan(body, x, None, length=iters,
+                        unroll=min(unroll, iters))
     return x
 
 

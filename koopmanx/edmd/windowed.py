@@ -106,6 +106,13 @@ def window_model(
     # schulz_iters=0 for the exact (cheaper) extraction where the window is
     # persistently excited.
     if schulz_iters:
+        # Two SEPARATE chains deliberately: stacking both Grams into one
+        # (B, 2, d, d) Schulz chain is mathematically identical (Schulz is
+        # scale-equivariant with per-matrix seed norms) but measured 9-25%
+        # SLOWER end-to-end on the tank loop (183.6k -> 165.8k solves/s
+        # stacked+unroll8, 138.5k stacked+unroll1, 2026-08-20): Mosaic
+        # lowers the extra non-contracting batch dim worse than two plain
+        # batched matmuls. Same tiny-shape wall as the Pallas kernels.
         g_inv = schulz_inverse(g, schulz_iters)
         gz_inv = schulz_inverse(gz, schulz_iters)
     else:

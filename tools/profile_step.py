@@ -32,18 +32,25 @@ def main():
     from koopmanx.run import build_pipeline
     from koopmanx.systems import get_system
 
-    cfg = C.duffing_nn_preset()
+    preset = os.environ.get("BENCH_PRESET", "duffing")
+    cfg = C.PRESETS[preset]()
     cfg.steps = steps
     cfg.dtype = "float32"
     cfg.mpc.horizon = horizon
     cfg.switch_step = steps // 2
-    cfg.data = C.DataConfig(n_step=50, n_traj=50)
-    cfg.lift = C.LiftConfig(kind="mlp", nlift=8)
+    if preset == "duffing":
+        cfg.data = C.DataConfig(n_step=50, n_traj=50)
+        cfg.lift = C.LiftConfig(kind="mlp", nlift=8)
+    else:
+        import dataclasses
+
+        cfg.data = dataclasses.replace(cfg.data, n_step=50, n_traj=50)
     pipe = build_pipeline(cfg)
 
+    x0r = (0.0, 2.0) if cfg.system == "tank" else (-2.0, 2.0)
     batch_sc = sample_scenarios(
-        get_system("duffing"), jax.random.PRNGKey(0), batch=batch,
-        param_scale=0.15, dtype=jnp.float32,
+        get_system(cfg.system), jax.random.PRNGKey(0), batch=batch,
+        param_scale=0.15, dtype=jnp.float32, x0_range=x0r,
     )
     rep = lambda v: jnp.broadcast_to(v, (batch,) + v.shape)
     params_b = jax.tree_util.tree_map(rep, pipe.params)
