@@ -88,6 +88,11 @@ class UpdateConfig:
     reset_factor: float = 1e-3
     dither: float = 0.0  # persistent-excitation probe amplitude
     window: int = 256  # 'windowed' mode: sliding-window length
+    # 'windowed' mode: Newton-Schulz iterations in the per-step refit —
+    # ALSO the spectral filter strength (see edmd/windowed.py): fewer
+    # iterations = stronger filtering of weak Gram directions AND a
+    # shorter hot chain (the tank loop's dominant cost).
+    window_filter: int = 24
     symmetrize: bool = True
     c_pairing: str = "next"  # next (python) | same (matlab)
 

@@ -140,6 +140,9 @@ class EngineConfig:
     reset_mult: float = 0.0
     reset_factor: float = 1e-3
     residual_ema: float = 0.98
+    # 'windowed' update: Schulz iterations of the per-step refit (the
+    # spectral-filter strength / hot-chain length, edmd/windowed.py)
+    window_filter: int = 24
     # Persistent excitation: a small deterministic multi-sine probe added
     # to the applied input (within bounds). Closed-loop data alone is not
     # persistently exciting — after a plant change (or from an absorbing
@@ -605,7 +608,8 @@ def make_estimator_update(dictionary: Dictionary, cfg: EngineConfig):
         elif cfg.update == "windowed":
             rls_new = window_update(rls, z, u, z_next, c_target)
             new_model = window_model(
-                rls_new, dictionary.nlift, ridge=max(cfg.rls_ridge, 1e-5)
+                rls_new, dictionary.nlift, ridge=max(cfg.rls_ridge, 1e-5),
+                schulz_iters=cfg.window_filter,
             )
         elif cfg.update == "storage":
             rls_new = storage_update(rls, z, u, z_next, c_target)

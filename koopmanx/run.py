@@ -210,6 +210,7 @@ def engine_config(cfg: C.RunConfig) -> EngineConfig:
         rls_ridge=uc.ridge,
         reset_mult=uc.reset_mult,
         reset_factor=uc.reset_factor,
+        window_filter=uc.window_filter,
         dither=uc.dither,
         symmetrize=uc.symmetrize,
         switch_step=cfg.switch_step,
