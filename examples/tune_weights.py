@@ -35,8 +35,16 @@ from koopmanx.run import build_pipeline
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--iters", type=int, default=15)
+    ap.add_argument("--cpu", action="store_true")  # accepted for symmetry
+    args = ap.parse_args()  # (this example always runs on CPU)
+
     cfg = C.duffing_nn_preset()
-    cfg.steps = 200
+    cfg.steps = args.steps
     cfg.dtype = "float32"
     cfg.data = C.DataConfig(n_step=40, n_traj=40)
     cfg.mpc.r_weight = 1.0  # deliberately detuned (reference: 1e-4)
@@ -52,14 +60,14 @@ def main():
         err = log.x[:, 0] - log.r[:, 0]
         # settled-regime cost: the first half of the horizon is the
         # unavoidable transit from x0=[-2,-2], identical for any sane R
-        return jnp.mean(err[100:] ** 2)
+        return jnp.mean(err[cfg.steps // 2:] ** 2)
 
     log_r = jnp.asarray(0.0, jnp.float32)
     opt = optax.adam(0.5)
     state = opt.init(log_r)
     vg = jax.jit(jax.value_and_grad(loss))
     print(f"init: r={float(jnp.exp(log_r)):.2e} cost={float(loss(log_r)):.5f}")
-    for i in range(15):
+    for i in range(args.iters):
         v, g = vg(log_r)
         updates, state = opt.update(g, state)
         log_r = optax.apply_updates(log_r, updates)

@@ -101,3 +101,28 @@ def test_eigenfunction_gallery_and_spectrum_figures(tmp_path):
     import os
 
     assert os.path.getsize(p1) > 5000 and os.path.getsize(p2) > 5000
+
+
+def test_eigenfunction_gallery_1d(tmp_path):
+    """The gallery's 1-D branch (line plots) on the toy1d model."""
+    import pytest
+
+    pytest.importorskip("matplotlib")
+    import os
+
+    from koopmanx.eval.plots import eigenfunction_gallery
+
+    cfg = C.PRESETS["toy1d"]()
+    cfg.dtype = "float64"
+    cfg.data = C.DataConfig(n_step=1, n_traj=300, u_range=(-1.0, 1.0),
+                            x0_range=(-1.0, 1.0))
+    from koopmanx.run import build_pipeline
+
+    pipe = build_pipeline(cfg)
+    fig = eigenfunction_gallery(
+        pipe.model0, pipe.dictionary, extent=(-1.0, 1.0),
+        resolution=40, top=4,
+    )
+    p = str(tmp_path / "eig1d.png")
+    fig.savefig(p, dpi=80)
+    assert os.path.getsize(p) > 5000
