@@ -304,7 +304,7 @@ def cmd_modes(args):
     label = "batch-EDMD model"
     if args.final:
         carry, _ = run_single(pipe)
-        model = jax.tree_util.tree_map(lambda a: a, carry.model)
+        model = carry.model
         label = f"online model after {cfg.steps} steps"
     summary = spectrum_summary(model, h=cfg.data.h)
     summary["model"] = label

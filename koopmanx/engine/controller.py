@@ -41,6 +41,7 @@ from .core import (
     EngineConfig,
     MPCParams,
     change_reset,
+    dual_dim,
     initial_cert,
     initial_kkt_inv,
     make_control_solver,
@@ -147,11 +148,7 @@ def initial_state(dictionary: Dictionary, cfg: EngineConfig,
     m = params.r_block.shape[-1]
     n = model0.C.shape[0] if n is None else n
     dtype = params.q_block.dtype
-    nc = cfg.horizon * m
-    if cfg.delta_u and params.applied_min is not None:
-        nc += m
-    if cfg.state_bounds and params.x_min is not None:
-        nc += params.x_min.shape[0]
+    nc = dual_dim(cfg, params, m)
     return ControllerState(
         model=model0,
         rls=rls0,
@@ -205,8 +202,18 @@ class Controller:
         self._k += 1
         return u
 
-    def reset(self) -> None:
-        self.state = self._init
+    def reset(self, full: bool = False) -> None:
+        """New episode: clear the transient state (warm starts, previous
+        input, step counter) while KEEPING the online-adapted model and
+        estimator — a deployed controller's adaptation is its value.
+        ``full=True`` additionally restores the initial offline model/RLS.
+        """
+        if full:
+            self.state = self._init
+        else:
+            self.state = self._init._replace(
+                model=self.state.model, rls=self.state.rls
+            )
         self._k = 0
 
 
@@ -249,9 +256,14 @@ class BatchedController:
         self._k = 0
 
     def step(self, x_batch) -> Array:
+        # cast to the controller dtype (same as Controller.step): a
+        # mismatched caller dtype would otherwise promote the carried
+        # state and force a retrace every call
+        p_one = self.params
+        dt = jax.tree_util.tree_leaves(p_one.q_block)[0].dtype
         self.state, u = self._step(
             self.params, self.state,
-            jnp.asarray(x_batch), jnp.asarray(self._k),
+            jnp.asarray(x_batch, dt), jnp.asarray(self._k),
         )
         self._k += 1
         return u

@@ -467,14 +467,16 @@ def make_control_solver(dictionary: Dictionary, cfg: EngineConfig, ref_fn,
                 else zeros_x
             )
             y0 = warm_y if cfg.qp_warm_start == "full" else zeros_x
-            if cfg.qp_kkt_refine > 0:
+            if cfg.qp_kkt_refine > 0 and not isinstance(kkt_prev, tuple):
                 # carried-inverse mode: Newton-Schulz refinement of last
                 # step's KKT inverse; exact Gauss-Jordan re-anchor every
                 # qp_kkt_reanchor steps. `step` is unbatched (scan index
                 # shared by all vmapped scenarios), so the cond is a REAL
                 # branch even under the scenario vmap — anchor steps pay
                 # the elimination, every other step pays 2*refine batched
-                # matmuls instead.
+                # matmuls instead. A caller that threads NO carry
+                # (kkt_prev=(), e.g. the local-linear baseline loop) falls
+                # through to exact inversion every step below.
                 kkt = box_kkt(qp.P, qp_cfg)
                 kkt_inv = jax.lax.cond(
                     step % cfg.qp_kkt_reanchor == 0,
@@ -551,6 +553,18 @@ def make_control_solver(dictionary: Dictionary, cfg: EngineConfig, ref_fn,
         )
 
     return control_solve
+
+
+def dual_dim(cfg: EngineConfig, params: MPCParams, m: int) -> int:
+    """Number of QP constraint rows (dual warm-start size) — the ONE place
+    that mirrors control_solve's row construction (box + Δu input-magnitude
+    rows + Revise_2 state box); used by every harness's carry init."""
+    nc = cfg.horizon * m
+    if cfg.delta_u and params.applied_min is not None:
+        nc += m
+    if cfg.state_bounds and params.x_min is not None:
+        nc += params.x_min.shape[0]
+    return nc
 
 
 def initial_kkt_inv(cfg: EngineConfig, m: int, dtype) -> Any:

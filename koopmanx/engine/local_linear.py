@@ -31,7 +31,13 @@ from ..lifts.base import constant_augmented
 from ..systems.base import System, make_step, make_switch_schedule
 from ..systems.linearize import affine_residual, linearize_discrete
 from ..types import LinearModel
-from .core import EngineConfig, MPCParams, initial_cert, make_control_solver
+from .core import (
+    EngineConfig,
+    MPCParams,
+    dual_dim,
+    initial_cert,
+    make_control_solver,
+)
 
 
 class LocalLinearCarry(NamedTuple):
@@ -130,11 +136,7 @@ def make_local_linear_loop(
         theta_sched = make_switch_schedule(th0, th1, cfg.switch_step)
 
         n_dec = cfg.horizon * m
-        nc = n_dec
-        if cfg.delta_u and params.applied_min is not None:
-            nc += m
-        if cfg.state_bounds and params.x_min is not None:
-            nc += params.x_min.shape[0]
+        nc = dual_dim(cfg, params, m)
         carry0 = LocalLinearCarry(
             x=x0,
             u_applied=jnp.zeros((m,), dtype) if u0 is None else u0,

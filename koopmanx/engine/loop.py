@@ -41,6 +41,7 @@ from .core import (  # re-exported for compatibility (public config surface)
     _spectral_radius_estimate,
     _tree_finite,
     change_reset,
+    dual_dim,
     initial_cert,
     initial_kkt_inv,
     make_control_solver,
@@ -288,11 +289,7 @@ def make_closed_loop(
         theta_sched = make_switch_schedule(th0, th1, cfg.switch_step)
 
         n_dec = horizon * m
-        nc = n_dec
-        if cfg.delta_u and params.applied_min is not None:
-            nc += m
-        if cfg.state_bounds and params.x_min is not None:
-            nc += params.x_min.shape[0]
+        nc = dual_dim(cfg, params, m)
         if carry0 is None:
             carry0 = LoopCarry(
                 x=x0,

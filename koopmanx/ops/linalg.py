@@ -100,7 +100,7 @@ def gj_solve(a: Array, b: Array) -> Array:
 
 
 def ns_tracking_inverse(
-    k: Array, x_prev: Array, iters: int, safe_thresh: float = 0.5
+    k: Array, x_prev: Array, iters: int, safe_thresh: float = 0.95
 ) -> Array:
     """Newton-Schulz TRACKING inverse: refine last step's inverse of a
     slowly-drifting SPD matrix instead of re-eliminating from scratch.
@@ -115,19 +115,22 @@ def ns_tracking_inverse(
     of the step, BENCHMARKS.md round-2 roofline) become 2*iters MXU
     matmuls touching ~1/8 the bytes.
 
-    Safeguard (branch-free, per matrix — batched callers vmap this): seed
-    from whichever of {carried inverse, cold seed X0 = I/||K||_F} has the
-    smaller Frobenius residual. The cold seed is guaranteed convergent for
-    SPD K (residual eigenvalues 1 - lambda_i/||K||_F all in [0, 1)), so a
-    stale/non-finite carry (e.g. right after a plant switch) restarts
-    cleanly, while a converging-but-not-yet-converged carry is never
-    thrown away (a fixed threshold would mis-fire here: the cold seed's
-    Frobenius residual is ~sqrt(n) even though its spectral radius < 1).
-    Combined with the engine's periodic exact re-anchoring
-    (EngineConfig.qp_kkt_reanchor) any bad stretch is bounded to one
-    period. Shapes: (n, n), (n, n) -> (n, n). ``safe_thresh`` additionally
-    forces the cold seed whenever the carried residual exceeds it AND the
-    cold residual (belt over braces for adversarial carries).
+    Safeguard (branch-free, per matrix — batched callers vmap this): keep
+    the carried inverse only when its residual DEMONSTRABLY contracts
+    under one NS squaring. NS squares the residual exactly
+    (I - K X1 = (I - K X0)^2), so the test compares ||R^2||_F against
+    ||R||_F directly: a small residual (||R||_F < safe_thresh < 1 implies
+    rho(R) < 1) is kept outright; a large one is kept only if squaring
+    shrinks it (healthy mid-convergence residuals have ||R||_F ~ sqrt(n)
+    but contract — a fixed Frobenius threshold would mis-reject them),
+    while an adversarial stale carry with rho(R) > 1 GROWS under squaring
+    and restarts from the cold seed X0 = I/||K||_F, provably convergent
+    for SPD K (residual eigenvalues 1 - lambda_i/||K||_F in [0, 1)).
+    (A power-iteration rho estimate was tried and rejected: the norm-ratio
+    estimate overshoots rho for the non-normal R = I - K X and spuriously
+    cold-restarted mid-warm-up carries.) Combined with the engine's
+    periodic exact re-anchoring (EngineConfig.qp_kkt_reanchor) any bad
+    stretch is bounded to one period. Shapes: (n, n), (n, n) -> (n, n).
     """
     n = k.shape[-1]
     dtype = k.dtype
@@ -137,10 +140,12 @@ def ns_tracking_inverse(
     )
     x0_safe = eye / k_fro
     r_prev = eye - k @ x_prev
-    e_prev = jnp.sqrt(jnp.sum(r_prev * r_prev))
-    r_cold = eye - k / k_fro
-    e_cold = jnp.sqrt(jnp.sum(r_cold * r_cold))
-    use_prev = jnp.isfinite(e_prev) & (e_prev < jnp.minimum(e_cold, n * 1.0))
+    e0 = jnp.sqrt(jnp.sum(r_prev * r_prev))
+    r_sq = r_prev @ r_prev  # the residual after one NS step, exactly
+    e1 = jnp.sqrt(jnp.sum(r_sq * r_sq))
+    use_prev = jnp.isfinite(e1) & (
+        (e0 < safe_thresh) | (e1 < 0.7 * e0)
+    )
     x = jnp.where(use_prev, x_prev, x0_safe)
     for _ in range(iters):
         x = x @ (2.0 * eye - k @ x)

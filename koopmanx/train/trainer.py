@@ -158,10 +158,16 @@ def fit(
         history.append(rec)
         if checkpoint_path and (epoch + 1) % checkpoint_every == 0:
             save_checkpoint(checkpoint_path, state, epoch + 1)
+    if best_state is not None:
+        # best-checkpoint selection: what we RETURN (and callers export)
+        # must be what the on-disk checkpoint holds — saving the
+        # last-epoch state here would silently diverge from the published
+        # weights on the next resume/load
+        if checkpoint_path:
+            save_checkpoint(checkpoint_path, best_state, cfg.epochs)
+        return best_state, history
     if checkpoint_path:
         save_checkpoint(checkpoint_path, state, cfg.epochs)
-    if best_state is not None:
-        return best_state, history
     return state, history
 
 

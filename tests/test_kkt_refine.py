@@ -95,3 +95,21 @@ def test_refine_rejects_pallas_backend():
     cfg.mpc.qp_backend = "pallas"
     with pytest.raises(ValueError, match="qp_kkt_refine"):
         build_pipeline(cfg)
+
+
+def test_ns_tracking_inverse_rejects_divergent_carry():
+    """Adversarial stale carry with SMALL Frobenius residual but spectral
+    radius > 1: NS from it would diverge quadratically — the contraction
+    test must restart from the cold seed and still converge across calls."""
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=(16, 16))
+    k = jnp.asarray(a @ a.T + 16 * np.eye(16))
+    k_inv = spd_inverse(k)
+    w = jnp.zeros((16,)).at[0].set(1.0)
+    # I - K X = 1.2 w w^T  ->  rho = 1.2 > 1, ||.||_F = 1.2 (small)
+    x_bad = k_inv @ (jnp.eye(16) - 1.2 * jnp.outer(w, w))
+    x = x_bad
+    for _ in range(5):
+        x = ns_tracking_inverse(k, x, 3)
+    err = float(jnp.linalg.norm(jnp.eye(16) - k @ x))
+    assert np.isfinite(err) and err < 1e-8, err
