@@ -78,3 +78,28 @@ def test_controller_state_checkpoint(tmp_path):
     u1 = ctrl.step(x)
     u2 = ctrl2.step(x)
     np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), rtol=1e-12)
+
+
+def test_controller_reset_keeps_adaptation():
+    """reset() starts a new episode but KEEPS the online-adapted model;
+    reset(full=True) restores the initial offline model."""
+    pipe, _ = _pipe(steps=40)
+    ctrl = Controller.from_pipeline(pipe)
+    plant = make_step(DUFFING, 0.05)
+    x = jnp.array([-1.5, 1.0], dtype=jnp.float64)
+    for _ in range(15):
+        u = ctrl.step(x)
+        x = plant(x, u, DUFFING.theta0)
+    a_adapted = np.asarray(ctrl.state.model.A).copy()
+    assert np.abs(a_adapted - np.asarray(pipe.model0.A)).max() > 1e-9
+
+    ctrl.reset()
+    assert ctrl._k == 0
+    assert not bool(ctrl.state.have_prev)
+    np.testing.assert_array_equal(np.asarray(ctrl.state.model.A), a_adapted)
+    assert float(jnp.abs(ctrl.state.warm_x).max()) == 0.0
+
+    ctrl.reset(full=True)
+    np.testing.assert_array_equal(
+        np.asarray(ctrl.state.model.A), np.asarray(pipe.model0.A)
+    )
