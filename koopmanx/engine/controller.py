@@ -204,15 +204,22 @@ class Controller:
 
     def reset(self, full: bool = False) -> None:
         """New episode: clear the transient state (warm starts, previous
-        input, step counter) while KEEPING the online-adapted model and
-        estimator — a deployed controller's adaptation is its value.
-        ``full=True`` additionally restores the initial offline model/RLS.
+        input, step counter) while KEEPING everything adaptation produced —
+        the online model/estimator, the last sane terminal certificate and
+        the change-detection residual baseline (all three are products of
+        the data seen so far; resetting the certificate to the conservative
+        P = Q_lift seed or zeroing res_ema would silently discard them —
+        advisor finding, round 3). ``full=True`` restores the initial
+        offline model/RLS/certificate as well.
         """
         if full:
             self.state = self._init
         else:
             self.state = self._init._replace(
-                model=self.state.model, rls=self.state.rls
+                model=self.state.model,
+                rls=self.state.rls,
+                cert=self.state.cert,
+                res_ema=self.state.res_ema,
             )
         self._k = 0
 
@@ -241,19 +248,27 @@ class BatchedController:
         )
         m = p_one.r_block.shape[-1]
         step_fn = make_step_fn(dictionary, cfg, ref_fn)(m)
+        # the step index is vmapped PER PLANT (in_axes 0, not None): after a
+        # masked reset the reset plants restart their episode clock at 0
+        # (dither probe phase, receding reference window, kkt re-anchor
+        # schedule) while the others keep counting. Cost: in qp_kkt_refine
+        # mode the re-anchor lax.cond batches into a select (both branches
+        # execute) — acceptable for the opt-in mode; all other configs are
+        # unaffected.
         self._step = jax.jit(
-            jax.vmap(step_fn, in_axes=(0 if batch_params else None, 0, 0, None))
+            jax.vmap(step_fn, in_axes=(0 if batch_params else None, 0, 0, 0))
         )
         take0 = lambda t: jax.tree_util.tree_map(lambda a: a[0], t)
         m0 = take0(model0) if batch_model else model0
         r0 = take0(rls0) if batch_model else rls0
         state1 = initial_state(dictionary, cfg, p_one, m0, r0, n)
-        self.state = jax.tree_util.tree_map(
+        self._init = jax.tree_util.tree_map(
             lambda leaf: jnp.broadcast_to(leaf, (batch,) + leaf.shape), state1
         )
         if batch_model:
-            self.state = self.state._replace(model=model0, rls=rls0)
-        self._k = 0
+            self._init = self._init._replace(model=model0, rls=rls0)
+        self.state = self._init
+        self._k = jnp.zeros((batch,), jnp.int32)
 
     def step(self, x_batch) -> Array:
         # cast to the controller dtype (same as Controller.step): a
@@ -262,13 +277,43 @@ class BatchedController:
         p_one = self.params
         dt = jax.tree_util.tree_leaves(p_one.q_block)[0].dtype
         self.state, u = self._step(
-            self.params, self.state,
-            jnp.asarray(x_batch, dt), jnp.asarray(self._k),
+            self.params, self.state, jnp.asarray(x_batch, dt), self._k,
         )
-        self._k += 1
+        self._k = self._k + 1
         return u
 
-    def reset(self) -> None:
-        raise NotImplementedError(
-            "rebuild the BatchedController to reset (cheap: state init only)"
+    def reset(self, full: bool = False, mask=None) -> None:
+        """Start a new episode for the whole fleet (``mask=None``) or a
+        subset of plants (``mask``: (batch,) bool, True = reset that
+        plant) — the realistic fleet event: one plant finishes its batch /
+        restarts while the rest keep running.
+
+        Same semantics per selected plant as :meth:`Controller.reset`:
+        transient state (warm starts, previous input, pair flag, episode
+        clock) clears; the adapted model, estimator, certificate and
+        change-detection baseline are KEPT unless ``full=True``, which
+        restores the initial offline model/RLS for the selected plants.
+        """
+        if full:
+            new = self._init
+        else:
+            new = self._init._replace(
+                model=self.state.model,
+                rls=self.state.rls,
+                cert=self.state.cert,
+                res_ema=self.state.res_ema,
+            )
+        if mask is None:
+            self.state = new
+            self._k = jnp.zeros_like(self._k)
+            return
+        mask = jnp.asarray(mask, bool)
+        if mask.shape != self._k.shape:
+            raise ValueError(
+                f"mask shape {mask.shape} != fleet shape {self._k.shape}"
+            )
+        pick = lambda a, b: jnp.where(
+            mask.reshape(mask.shape + (1,) * (a.ndim - 1)), a, b
         )
+        self.state = jax.tree_util.tree_map(pick, new, self.state)
+        self._k = jnp.where(mask, 0, self._k)

@@ -446,6 +446,18 @@ def make_control_solver(dictionary: Dictionary, cfg: EngineConfig, ref_fn,
                 l_ineq = jnp.concatenate([l_ineq, l_state])
                 u_ineq = jnp.concatenate([u_ineq, u_state])
 
+        if cfg.qp_kkt_refine > 0 and a_ineq is not None:
+            # the carried KKT inverse only serves the box fast path below;
+            # on the general-inequality ADMM (Δu input-magnitude rows /
+            # Revise_2 state box) it would sit unused in the scan carry,
+            # burning carry-copy HBM bandwidth with zero benefit — refuse
+            # loudly (trace-time: a_ineq's None-ness is static per config)
+            raise ValueError(
+                "qp_kkt_refine > 0 requires the box-only QP fast path; this "
+                "config adds general inequality rows (delta_u applied "
+                "bounds or state_bounds) which use solve_qp's own KKT — "
+                "set qp_kkt_refine=0 for this configuration"
+            )
         lo = jnp.broadcast_to(params.u_min, (horizon * m,))
         hi = jnp.broadcast_to(params.u_max, (horizon * m,))
         qp = condensed_qp(

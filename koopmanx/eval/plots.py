@@ -403,10 +403,16 @@ def save_figure_bundle(
         _save(
             spectrum_plot(spectral_decomposition(model, h)), "spectrum"
         )
-        _save(
-            eigenfunction_gallery(model, dictionary, h, extent=ext),
-            "eigenfunctions",
-        )
+        if x.shape[1] <= 2:
+            _save(
+                eigenfunction_gallery(model, dictionary, h, extent=ext),
+                "eigenfunctions",
+            )
+        # >2-state systems: the gallery needs a 2-D grid the dictionary
+        # can't consume (it lifts full n-dim states) — skip it rather than
+        # crash; the spectrum plot above is dimension-agnostic. Callers
+        # wanting a section can slice the dictionary and call
+        # eigenfunction_gallery directly.
     gamma = np.asarray(getattr(log, "gamma", np.zeros(1)))
     if np.any(gamma != 0.0):
         _save(monitor_series(log.eps_state, r"$\epsilon$"), "epsilon")

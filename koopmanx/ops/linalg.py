@@ -100,7 +100,8 @@ def gj_solve(a: Array, b: Array) -> Array:
 
 
 def ns_tracking_inverse(
-    k: Array, x_prev: Array, iters: int, safe_thresh: float = 0.95
+    k: Array, x_prev: Array, iters: int, safe_thresh: float = 0.95,
+    cold_iters: int = 12,
 ) -> Array:
     """Newton-Schulz TRACKING inverse: refine last step's inverse of a
     slowly-drifting SPD matrix instead of re-eliminating from scratch.
@@ -131,6 +132,17 @@ def ns_tracking_inverse(
     cold-restarted mid-warm-up carries.) Combined with the engine's
     periodic exact re-anchoring (EngineConfig.qp_kkt_reanchor) any bad
     stretch is bounded to one period. Shapes: (n, n), (n, n) -> (n, n).
+
+    ``cold_iters``: extra NS pre-iterations applied to the cold seed ONLY.
+    The scaled-identity seed's residual eigenvalues 1 - lambda_i/||K||_F
+    start near 1 for ill-conditioned K, so the regular 2-3 tracking
+    iterations leave a cold restart far from the inverse until the next
+    exact re-anchor (advisor finding, round 3). Pre-polishing the seed
+    (~log2(cond K) + 4 iterations reach f32 exactness; 12 covers the
+    engine's KKT matrices, whose condition is bounded by lambda_max/rho)
+    makes a restart land near-exact immediately. Branch-free, so the
+    polish FLOPs are paid every call — acceptable because the mode itself
+    is opt-in (EngineConfig.qp_kkt_refine, measured-negative at nx~20).
     """
     n = k.shape[-1]
     dtype = k.dtype
@@ -146,7 +158,10 @@ def ns_tracking_inverse(
     use_prev = jnp.isfinite(e1) & (
         (e0 < safe_thresh) | (e1 < 0.7 * e0)
     )
-    x = jnp.where(use_prev, x_prev, x0_safe)
+    x_cold = x0_safe
+    for _ in range(cold_iters):
+        x_cold = x_cold @ (2.0 * eye - k @ x_cold)
+    x = jnp.where(use_prev, x_prev, x_cold)
     for _ in range(iters):
         x = x @ (2.0 * eye - k @ x)
     # NS preserves symmetry only up to rounding; the ADMM relies on a

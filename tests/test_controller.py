@@ -103,3 +103,127 @@ def test_controller_reset_keeps_adaptation():
     np.testing.assert_array_equal(
         np.asarray(ctrl.state.model.A), np.asarray(pipe.model0.A)
     )
+
+
+def test_controller_reset_keeps_cert_and_change_baseline():
+    """reset() keeps the last sane certificate and the change-detection
+    residual baseline — both are products of adaptation, like the model
+    (advisor finding r3). reset(full=True) restores the conservative
+    seeds."""
+    cfg = C.duffing_nn_preset()
+    cfg.steps = 40
+    cfg.dtype = "float64"
+    cfg.data = C.DataConfig(n_step=40, n_traj=40)
+    cfg.mpc.terminal_synthesis = True
+    cfg.update.reset_mult = 50.0  # enables the res_ema track, never fires
+    pipe = build_pipeline(cfg)
+    ctrl = Controller.from_pipeline(pipe)
+    plant = make_step(DUFFING, 0.05)
+    x = jnp.array([-1.5, 1.0], dtype=jnp.float64)
+    for _ in range(12):
+        u = ctrl.step(x)
+        x = plant(x, u, DUFFING.theta0)
+    p_seed = np.asarray(ctrl._init.cert[0])
+    p_adapted = np.asarray(ctrl.state.cert[0]).copy()
+    ema_adapted = float(ctrl.state.res_ema)
+    assert np.abs(p_adapted - p_seed).max() > 1e-9  # synthesis replaced the seed
+    assert ema_adapted > 0.0
+
+    ctrl.reset()
+    np.testing.assert_array_equal(np.asarray(ctrl.state.cert[0]), p_adapted)
+    assert float(ctrl.state.res_ema) == ema_adapted
+    ctrl.reset(full=True)
+    np.testing.assert_array_equal(np.asarray(ctrl.state.cert[0]), p_seed)
+    assert float(ctrl.state.res_ema) == 0.0
+
+
+def test_batched_controller_reset_masked():
+    """BatchedController.reset resets a SUBSET of the fleet: selected
+    plants clear transient state and restart their episode clock while
+    keeping their adapted model; unselected plants are untouched."""
+    from koopmanx.engine.controller import BatchedController
+    from koopmanx.run import _dtype, _ref_fn
+
+    pipe, _ = _pipe(steps=40)
+    ref_fn = _ref_fn(
+        pipe.config, pipe.dictionary, pipe.params.q_block.shape[0],
+        _dtype(pipe.config),
+    )
+    batch = 3
+    bc = BatchedController(
+        pipe.dictionary, pipe.engine_cfg, pipe.params, ref_fn,
+        pipe.model0, pipe.rls0, batch=batch,
+    )
+    plant = make_step(DUFFING, 0.05)
+    x_b = jnp.stack([
+        jnp.array([-1.5, 1.0]), jnp.array([0.5, -0.5]), jnp.array([1.0, 1.0])
+    ]).astype(jnp.float64)
+    for _ in range(6):
+        u_b = bc.step(x_b)
+        x_b = jax.vmap(lambda x, u: plant(x, u, DUFFING.theta0))(x_b, u_b)
+    model_pre = np.asarray(bc.state.model.A).copy()
+    warm_pre = np.asarray(bc.state.warm_x).copy()
+    assert np.abs(warm_pre[1]).max() > 0
+
+    bc.reset(mask=jnp.array([True, False, False]))
+    np.testing.assert_array_equal(np.asarray(bc._k), [0, 6, 6])
+    hp = np.asarray(bc.state.have_prev)
+    assert not hp[0] and hp[1] and hp[2]
+    # plant 0: transient cleared, adapted model KEPT
+    assert np.abs(np.asarray(bc.state.warm_x[0])).max() == 0.0
+    np.testing.assert_array_equal(np.asarray(bc.state.model.A[0]), model_pre[0])
+    # plants 1-2: completely untouched
+    np.testing.assert_array_equal(np.asarray(bc.state.warm_x[1:]), warm_pre[1:])
+    np.testing.assert_array_equal(np.asarray(bc.state.model.A[1:]), model_pre[1:])
+
+    # full=True restores the offline model for the selected plant only
+    bc.reset(full=True, mask=jnp.array([False, True, False]))
+    np.testing.assert_array_equal(
+        np.asarray(bc.state.model.A[1]), np.asarray(pipe.model0.A)
+    )
+    np.testing.assert_array_equal(np.asarray(bc.state.model.A[2]), model_pre[2])
+    np.testing.assert_array_equal(np.asarray(bc._k), [0, 0, 6])
+
+    # the fleet keeps running after a masked reset
+    u_b = bc.step(x_b)
+    assert np.isfinite(np.asarray(u_b)).all()
+    with pytest.raises(ValueError):
+        bc.reset(mask=jnp.array([True, False]))
+
+
+def test_batched_controller_masked_reset_matches_fresh_single():
+    """After reset(mask=[plant 0]), plant 0 must evolve EXACTLY like a
+    single Controller whose state was reset the same way — the per-plant
+    episode clock (vmapped step index) is what makes this hold."""
+    from koopmanx.engine.controller import BatchedController
+    from koopmanx.run import _dtype, _ref_fn
+
+    pipe, _ = _pipe(steps=40)
+    ref_fn = _ref_fn(
+        pipe.config, pipe.dictionary, pipe.params.q_block.shape[0],
+        _dtype(pipe.config),
+    )
+    bc = BatchedController(
+        pipe.dictionary, pipe.engine_cfg, pipe.params, ref_fn,
+        pipe.model0, pipe.rls0, batch=2,
+    )
+    single = Controller.from_pipeline(pipe)
+    plant = make_step(DUFFING, 0.05)
+    x = jnp.array([-1.5, 1.0], dtype=jnp.float64)
+    x_b = jnp.stack([x, jnp.array([0.5, -0.5], dtype=jnp.float64)])
+    for _ in range(5):
+        u_b = bc.step(x_b)
+        u_s = single.step(x_b[0])
+        np.testing.assert_allclose(
+            np.asarray(u_b[0]), np.asarray(u_s), rtol=0, atol=1e-12
+        )
+        x_b = jax.vmap(lambda xi, ui: plant(xi, ui, DUFFING.theta0))(x_b, u_b)
+    bc.reset(mask=jnp.array([True, False]))
+    single.reset()
+    for _ in range(5):
+        u_b = bc.step(x_b)
+        u_s = single.step(x_b[0])
+        np.testing.assert_allclose(
+            np.asarray(u_b[0]), np.asarray(u_s), rtol=0, atol=1e-12
+        )
+        x_b = jax.vmap(lambda xi, ui: plant(xi, ui, DUFFING.theta0))(x_b, u_b)
