@@ -41,6 +41,11 @@ class LiftConfig:
 
 @dataclasses.dataclass
 class MPCConfig:
+    # 'mpc' | 'lqr' — 'lqr' runs the closed loop under u = clip(u_ss -
+    # K (z - z_ss)) with K = dlqr on the current model (the reference's
+    # dead LQR flag, duffing.py:682/:863-864, made runnable; see
+    # EngineConfig.controller)
+    controller: str = "mpc"
     horizon: int = 10
     q_weight: float = 100.0
     r_weight: float = 1e-4

@@ -40,8 +40,10 @@ from ..control.condensed import (
 )
 from ..control.qp import ADMMConfig, box_kkt, make_box_qp_solver, solve_qp
 from ..ops.linalg import ns_tracking_inverse, spd_inverse
+from ..control.dare import dlqr_gain, solve_dare_doubling
 from ..control.lmi import solve_terminal_lmi
 from ..control.terminal import synthesize_terminal
+from ..types import QPSolution
 from ..edmd.windowed import window_model, window_update
 from ..edmd.rls import (
     gram_rls_model,
@@ -88,6 +90,16 @@ class EngineConfig:
     steps: int = 1000
     h: float = 0.05
     integrator: str = "rk4"
+    # 'mpc' (the reference's production path) | 'lqr' — the closed-loop
+    # LQR mode behind the reference's dead LQR flag (duffing.py:682,
+    # gain at :583-613, apply site :863-864 `u = -K_gain @ xlift`):
+    # u = clip(u_ss - K (z - z_ss)), K = dlqr on the CURRENT (online-
+    # updated) lifted model, (z_ss, u_ss) the least-squares steady-state
+    # target for the reference (zero for regulation, recovering the
+    # reference's literal dead-code semantics). No QP — the input box is
+    # enforced by exact projection (the reference's dead branch had no
+    # constraint handling at all).
+    controller: str = "mpc"
     delta_u: bool = False  # Tank's incremental-input formulation
     track_lifted: bool = False  # VDP's lifted-space tracking
     update: str = "rls"  # 'rls' | 'storage' | 'off'
@@ -314,6 +326,10 @@ def make_control_solver(dictionary: Dictionary, cfg: EngineConfig, ref_fn,
             "qp_kkt_refine (carried KKT inverse) requires qp_backend='xla' "
             "(the Pallas kernel computes its own inverses)"
         )
+    if cfg.controller == "lqr":
+        return _make_lqr_solver(dictionary, cfg, ref_fn, m)
+    if cfg.controller != "mpc":
+        raise ValueError(f"unknown controller {cfg.controller!r}")
 
     def control_solve(params: MPCParams, model: LinearModel, cert: Any,
                       x: Array, z: Array, u_prev: Array, warm_x: Array,
@@ -562,6 +578,123 @@ def make_control_solver(dictionary: Dictionary, cfg: EngineConfig, ref_fn,
             ref_full=ref_full,
             terminal=terminal,
             c_for_term=c_for_term,
+        )
+
+    return control_solve
+
+
+def _make_lqr_solver(dictionary: Dictionary, cfg: EngineConfig, ref_fn,
+                     m: int):
+    """The closed-loop LQR mode (``cfg.controller='lqr'``) — the runnable
+    counterpart of the reference's dead LQR flag (``duffing.py:682``; gain
+    ``K_gain = dlqr(A, B, Q, R)`` at ``:669``, apply site ``:863-864``
+    ``u = -K_gain @ xlift``).
+
+    Per step, on the CURRENT online-updated model (the reference's dead
+    branch used the offline model's static gain; with ``update='off'`` this
+    reduces to exactly that):
+
+      K  = dlqr(A, B, Q_dare, R)        (doubling DARE, no LAPACK)
+      (z_ss, u_ss) = argmin ||(A - I) z + B u||^2 + ||G z - r||^2
+                                         (least-squares servo target)
+      u  = clip(u_ss - K (z - z_ss), u_min, u_max)
+
+    ``G`` is the tracked output map (``Cy C``, or I in lifted tracking,
+    where ``z_ss`` is the encoded reference directly). With r = 0 the
+    target collapses to (0, 0) and u = -K z — the reference's literal
+    dead-code semantics. ``Q_dare`` is ``params.q_lift`` when provided,
+    else the output weight pulled back through G (plus a detectability
+    ridge). Same ControlDecision contract as the MPC solve, so the loop,
+    the serving Controller and run_batch work unchanged.
+    """
+    if cfg.delta_u or cfg.state_bounds or cfg.terminal_synthesis:
+        raise ValueError(
+            "controller='lqr' supports the plain tracking formulation only "
+            "(no delta_u, state_bounds, or terminal_synthesis — those are "
+            "MPC-path features; the reference's LQR flag had none of them)"
+        )
+    horizon = cfg.horizon
+
+    def control_solve(params: MPCParams, model: LinearModel, cert: Any,
+                      x: Array, z: Array, u_prev: Array, warm_x: Array,
+                      warm_y: Array, step: Array,
+                      kkt_prev: Any = ()) -> ControlDecision:
+        nlift = dictionary.nlift
+        dtype = z.dtype
+        a, b = model.A, model.B
+        if cfg.track_lifted:
+            g = jnp.eye(nlift, dtype=dtype)
+        else:
+            g = model.C if params.cy is None else params.cy @ model.C
+        if params.q_lift is not None:
+            q_dare = params.q_lift
+        else:
+            q_dare = g.T @ params.q_block @ g
+        # tiny ridge: the pulled-back Q is rank-py — the doubling DARE
+        # needs detectability of (A, Q^1/2)
+        q_dare = q_dare + (1e-9 * jnp.trace(params.q_block)) * jnp.eye(
+            nlift, dtype=dtype
+        )
+        p = solve_dare_doubling(a, b, q_dare, params.r_block)
+        k = dlqr_gain(a, b, q_dare, params.r_block, p)  # u = -K z
+
+        r_window = ref_fn(step)  # (horizon, py)
+        r0 = r_window[0]
+        eye_n = jnp.eye(nlift, dtype=dtype)
+        if cfg.track_lifted:
+            # the window is already encoded: z_ss = liftFun(r); u_ss from
+            # the equilibrium condition B u = (I - A) z_ss in least squares
+            z_ss = r0
+            bb = b.T @ b + jnp.asarray(1e-8, dtype) * jnp.eye(m, dtype=dtype)
+            u_ss = spd_inverse(bb) @ (b.T @ ((eye_n - a) @ z_ss))
+        else:
+            mmat = jnp.concatenate(
+                [
+                    jnp.concatenate([a - eye_n, b], axis=1),
+                    jnp.concatenate(
+                        [g, jnp.zeros((g.shape[0], m), dtype)], axis=1
+                    ),
+                ],
+                axis=0,
+            )
+            rhs = jnp.concatenate([jnp.zeros((nlift,), dtype), r0])
+            mtm = mmat.T @ mmat + jnp.asarray(1e-8, dtype) * jnp.eye(
+                nlift + m, dtype=dtype
+            )
+            w = spd_inverse(mtm) @ (mmat.T @ rhs)
+            z_ss, u_ss = w[:nlift], w[nlift:]
+
+        # a transiently non-stabilizable estimate yields NaN (P, K) — same
+        # bounded-garbage fallback as the MPC path's first_move sanitation
+        u_raw = u_ss - k @ (z - z_ss)
+        u_applied = jnp.clip(
+            jnp.nan_to_num(u_raw, nan=0.0, posinf=0.0, neginf=0.0),
+            params.u_min,
+            params.u_max,
+        )
+        if cfg.dither > 0.0:
+            t_f = step.astype(dtype)
+            probe = cfg.dither * (
+                jnp.sin(0.37 * t_f) + 0.5 * jnp.sin(1.13 * t_f + 1.0)
+            )
+            u_applied = jnp.clip(u_applied + probe, params.u_min, params.u_max)
+
+        sol = QPSolution(
+            x=jnp.zeros((horizon * m,), dtype),
+            z=jnp.zeros((horizon * m,), dtype),
+            y=jnp.zeros_like(warm_y),
+            primal_res=jnp.zeros((), dtype),
+            dual_res=jnp.zeros((), dtype),
+            iterations=jnp.zeros((), jnp.int32),
+        )
+        return ControlDecision(
+            u_applied=u_applied,
+            warm_x=jnp.zeros_like(warm_x),
+            sol=sol,
+            cert=cert,
+            cert_ok=jnp.asarray(True),
+            r_window=r_window,
+            kkt_inv=kkt_prev,
         )
 
     return control_solve

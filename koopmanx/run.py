@@ -198,6 +198,7 @@ def engine_config(cfg: C.RunConfig) -> EngineConfig:
     baseline or a custom loop under a preset's exact engine settings)."""
     uc = cfg.update
     return EngineConfig(
+        controller=cfg.mpc.controller,
         horizon=cfg.mpc.horizon,
         steps=cfg.steps,
         h=cfg.data.h,
