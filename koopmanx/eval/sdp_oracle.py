@@ -42,6 +42,15 @@ import numpy as np
 import scipy.linalg
 
 
+class SDPSolution(NamedTuple):
+    gamma: float  # numerically-optimal gamma of the full SDP
+    q1: np.ndarray
+    y1: np.ndarray
+    x1: np.ndarray
+    gap_bound: float  # barrier duality-gap bound nu/t at termination
+    newton_decrements: list  # per-outer-iteration final Newton decrement
+
+
 class SDPOptimum(NamedTuple):
     gamma: float  # the exact SDP optimum (when input_bound_slack)
     p: np.ndarray  # P_dare
@@ -154,3 +163,210 @@ def check_reference_lmis(
         "input_bound_slack": float((u_max**2 - np.diag(x1)).min()),
         "lmi2_scale": float(np.abs(lmi2).max()),
     }
+
+
+# ---------------------------------------------------------------------------
+# Full numeric SDP solve (binding-input-bound ground truth)
+# ---------------------------------------------------------------------------
+#
+# When the input bound BINDS, gamma* = psi' P_dare psi is only a LOWER bound
+# on the SDP optimum and the analytic shortcut above cannot certify the
+# production solver's detuned-DARE gamma. This solves the full SDP
+#
+#   min gamma  over (gamma, X1, Q1, Y1)
+#   s.t. LMI0, LMI1, LMI2 >= 0, Q1 >= 0, X1(j,j) <= u_max^2
+#
+# numerically: log-det barrier path following (the textbook interior-point
+# method for SDPs — Boyd & Vandenberghe ch. 11) with damped Newton steps.
+# The objective is linear and every constraint enters through a log-det /
+# log barrier, so the centering problems are self-concordant and Newton
+# converges with the standard guarantees; the duality-gap bound at barrier
+# parameter t is nu/t with nu = total barrier degree (sum of LMI sizes +
+# number of scalar inequalities). Gradients/Hessians are exact via jax
+# autodiff on host CPU float64 (the variable count is ~70 for the Revise_2
+# sizes, so the dense Newton solve is trivial). Test-only, like the rest of
+# this module. Reference objective: min gamma,
+# /root/reference/Revise_2/Koopman_update.m:355.
+
+
+def _sym_indices(n: int):
+    iu = np.triu_indices(n)
+    return iu
+
+
+def terminal_sdp_solve(
+    a: np.ndarray,
+    b: np.ndarray,
+    q: np.ndarray,
+    r: np.ndarray,
+    psi: np.ndarray,
+    u_max: float,
+    mu: float = 5.0,
+    gap_tol: float = 1e-7,
+    newton_tol: float = 1e-11,
+    max_newton: int = 80,
+) -> SDPSolution:
+    """Numeric optimum of the FULL Revise_2 terminal SDP (see block comment).
+
+    Returns gamma with a duality-gap certificate ``gap_bound`` (the true
+    optimum lies in [gamma - gap_bound, gamma]). Self-check: on a slack
+    input bound this must reproduce ``terminal_sdp_optimum``'s analytic
+    gamma* (gated in tests/test_lmi.py).
+    """
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    cpu = jax.local_devices(backend="cpu")[0]
+
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    q = np.asarray(q, np.float64)
+    r = np.atleast_2d(np.asarray(r, np.float64))
+    psi = np.asarray(psi, np.float64)
+    nlift, m = a.shape[0], b.shape[1]
+    sqrt_q = np.diag(np.sqrt(np.maximum(np.diag(q), 0.0)))
+    sqrt_r = scipy.linalg.sqrtm(r).real
+
+    iu_x = _sym_indices(m)
+    iu_q = _sym_indices(nlift)
+    nx, nq = iu_x[0].size, iu_q[0].size
+
+    def unpack(v):
+        gamma = v[0]
+        x1 = jnp.zeros((m, m), v.dtype).at[iu_x].set(v[1 : 1 + nx])
+        x1 = x1 + jnp.triu(x1, 1).T
+        q1 = jnp.zeros((nlift, nlift), v.dtype).at[iu_q].set(
+            v[1 + nx : 1 + nx + nq]
+        )
+        q1 = q1 + jnp.triu(q1, 1).T
+        y1 = v[1 + nx + nq :].reshape(m, nlift)
+        return gamma, x1, q1, y1
+
+    sq = jnp.asarray(sqrt_q)
+    sr = jnp.asarray(sqrt_r)
+    aj = jnp.asarray(a)
+    bj = jnp.asarray(b)
+    psij = jnp.asarray(psi)
+
+    def lmis(v):
+        gamma, x1, q1, y1 = unpack(v)
+        lmi0 = jnp.block([[x1, y1], [y1.T, q1]])
+        lmi1 = jnp.block(
+            [[jnp.ones((1, 1), v.dtype), psij[None, :]], [psij[:, None], q1]]
+        )
+        aq_by = aj @ q1 + bj @ y1
+        z_nn = jnp.zeros((nlift, nlift), v.dtype)
+        z_nm = jnp.zeros((nlift, m), v.dtype)
+        lmi2 = jnp.block(
+            [
+                [q1, aq_by.T, (sq @ q1).T, (sr @ y1).T],
+                [aq_by, q1, z_nn, z_nm],
+                [sq @ q1, z_nn, gamma * jnp.eye(nlift, dtype=v.dtype), z_nm],
+                [sr @ y1, z_nm.T, z_nm.T, gamma * jnp.eye(m, dtype=v.dtype)],
+            ]
+        )
+        slack = u_max**2 - jnp.diag(x1)
+        return gamma, lmi0, lmi1, lmi2, q1, slack
+
+    def barrier(v, t):
+        gamma, lmi0, lmi1, lmi2, q1, slack = lmis(v)
+        ld = (
+            jnp.linalg.slogdet(lmi0)[1]
+            + jnp.linalg.slogdet(lmi1)[1]
+            + jnp.linalg.slogdet(lmi2)[1]
+            + jnp.linalg.slogdet(q1)[1]
+            + jnp.sum(jnp.log(slack))
+        )
+        return t * gamma - ld
+
+    def min_eig_all(v):
+        _, lmi0, lmi1, lmi2, q1, slack = lmis(v)
+        return min(
+            float(np.linalg.eigvalsh(np.asarray(x)).min())
+            for x in (lmi0, lmi1, lmi2, q1)
+        ), float(np.asarray(slack).min())
+
+    with jax.default_device(cpu):
+        grad_f = jax.jit(jax.grad(barrier))
+        hess_f = jax.jit(jax.hessian(barrier))
+
+        # ---- strictly feasible start: an R-detuned DARE candidate with
+        # inflated gamma and a mid-box X1 (the DARE point itself sits ON
+        # the LMI2 boundary — decrease equality — so it cannot seed an
+        # interior method) ----
+        v0 = None
+        for s in 2.0 ** np.arange(1, 16):
+            p_s = scipy.linalg.solve_discrete_are(
+                a, b, q + 1e-9 * max(np.trace(q), 1.0) * np.eye(nlift),
+                s * r,
+            )
+            k_s = -np.linalg.solve(s * r + b.T @ p_s @ b, b.T @ p_s @ a)
+            gamma_s = float(psi @ p_s @ psi) * 1.5 + 1e-3
+            q1_s = gamma_s * np.linalg.inv(p_s)
+            q1_s = 0.5 * (q1_s + q1_s.T)
+            y1_s = k_s @ q1_s
+            x1_lo = y1_s @ np.linalg.solve(q1_s, y1_s.T)
+            if np.any(np.diag(x1_lo) >= u_max**2):
+                continue  # gain still too hot for a strict input bound
+            x1_s = 0.5 * (x1_lo + u_max**2 * np.eye(m))
+            cand = np.concatenate(
+                [[gamma_s], x1_s[iu_x], q1_s[iu_q], y1_s.ravel()]
+            )
+            me, sl = min_eig_all(jnp.asarray(cand))
+            if me > 1e-10 and sl > 1e-10:
+                v0 = cand
+                break
+        if v0 is None:
+            raise RuntimeError(
+                "no strictly feasible start found (input bound may be "
+                "infeasible for every stabilizing gain)"
+            )
+
+        nu = (m + nlift) + (nlift + 1) + (3 * nlift + m) + nlift + m
+        v = jnp.asarray(v0)
+        t = max(nu / max(abs(float(v[0])), 1.0), 1.0)
+        decs = []
+        while True:
+            # ---- damped Newton centering at this t ----
+            lam2 = np.inf
+            for _ in range(max_newton):
+                g = np.asarray(grad_f(v, t))
+                h = np.asarray(hess_f(v, t))
+                # tiny Tikhonov: exact Hessians of log-det barriers are PD
+                # on the interior but can be near-singular at the path end
+                dx = np.linalg.solve(
+                    h + 1e-12 * np.eye(h.shape[0]) * max(1.0, np.abs(h).max()),
+                    -g,
+                )
+                lam2 = float(-g @ dx)
+                if lam2 / 2 < newton_tol:
+                    break
+                alpha = 1.0
+                f0 = float(barrier(v, t))
+                for _ in range(60):
+                    v_try = v + alpha * jnp.asarray(dx)
+                    me, sl = min_eig_all(v_try)
+                    if me > 0 and sl > 0 and float(
+                        barrier(v_try, t)
+                    ) < f0 - 1e-4 * alpha * lam2:
+                        v = v_try
+                        break
+                    alpha *= 0.5
+                else:
+                    break  # line search stalled — accept current center
+            decs.append(lam2)
+            if nu / t < gap_tol * max(abs(float(v[0])), 1.0):
+                break
+            t *= mu
+
+        gamma, x1, q1, y1 = unpack(v)
+        return SDPSolution(
+            gamma=float(gamma),
+            q1=np.asarray(q1),
+            y1=np.asarray(y1),
+            x1=np.asarray(x1),
+            gap_bound=float(nu / t),
+            newton_decrements=decs,
+        )

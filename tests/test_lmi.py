@@ -167,6 +167,53 @@ def test_lmi_binding_input_bound_certified_feasible():
     assert float(jnp.abs(res.k @ psi).max()) <= 2.0 + 1e-9
 
 
+def test_lmi_binding_case_optimality_vs_numeric_sdp():
+    """Ground-truth the BINDING-input-bound gamma (VERDICT r3 item 5): the
+    log-det barrier interior-point solver (eval/sdp_oracle.py
+    terminal_sdp_solve) numerically solves the FULL Revise_2 SDP; the
+    production detuned-DARE family's gamma must be (a) a valid upper bound
+    on it and (b) within a measured optimality factor. Measured on this
+    instance: family 25.10 vs SDP optimum 22.28 -> ratio 1.127 (the family
+    restricts (P, K) to R-detuned DARE pairs, so some conservatism is
+    structural); gated at 1.2 with headroom to 1.5 documented in PARITY.md.
+
+    Self-check first: on the SLACK case the numeric solver must reproduce
+    the analytic optimum gamma* = psi' P_dare psi."""
+    from koopmanx.eval.sdp_oracle import terminal_sdp_optimum, terminal_sdp_solve
+
+    model = _duffing_like_model()
+    nlift = 10
+    q = jnp.diag(
+        jnp.concatenate([jnp.full((2,), 10.0), jnp.zeros((nlift - 2,))])
+    ).astype(jnp.float64)
+    r = jnp.array([[0.01]], dtype=jnp.float64)
+    psi = jnp.asarray(np.random.default_rng(3).normal(0, 0.3, nlift), jnp.float64)
+    a, b = np.asarray(model.A), np.asarray(model.B)
+
+    # (0) solver self-check on the slack case against the analytic optimum
+    opt_slack = terminal_sdp_optimum(a, b, np.asarray(q), np.asarray(r),
+                                     np.asarray(psi), u_max=30.0)
+    sol_slack = terminal_sdp_solve(a, b, np.asarray(q), np.asarray(r),
+                                   np.asarray(psi), u_max=30.0)
+    assert opt_slack.input_bound_slack
+    assert sol_slack.gamma <= opt_slack.gamma * 1.0002
+    assert sol_slack.gamma >= opt_slack.gamma * (1 - 1e-6)
+
+    # (1) binding case: numeric SDP optimum vs the production family
+    opt = terminal_sdp_optimum(a, b, np.asarray(q), np.asarray(r),
+                               np.asarray(psi), u_max=2.0)
+    assert not opt.input_bound_slack  # precondition: the bound binds
+    sol = terminal_sdp_solve(a, b, np.asarray(q), np.asarray(r),
+                             np.asarray(psi), u_max=2.0)
+    # sanity: constrained optimum >= unconstrained lower bound
+    assert sol.gamma >= opt.gamma * (1 - 1e-6)
+
+    res = solve_terminal_lmi(model, q, r, psi, u_max=2.0)
+    g = float(res.gamma)
+    assert g >= sol.gamma * (1 - 1e-6), (g, sol.gamma)  # valid upper bound
+    assert g <= sol.gamma * 1.2, (g, sol.gamma, g / sol.gamma)
+
+
 def test_lmi_penalized_method_surfaces_binding_violation():
     """The legacy penalized path (method='penalized') keeps its
     documented behavior: at a binding input bound the Lyapunov-corrected
