@@ -63,6 +63,15 @@ def main():
     prec = os.environ.get("BENCH_PRECISION")
     if prec:
         cfg.matmul_precision = prec
+    # windowed-estimator schedule knobs (tank path)
+    if os.environ.get("BENCH_W_REFIT_EVERY"):
+        cfg.update.window_refit_every = int(os.environ["BENCH_W_REFIT_EVERY"])
+    if os.environ.get("BENCH_W_FILTER_LATE"):
+        cfg.update.window_filter_late = int(os.environ["BENCH_W_FILTER_LATE"])
+    if os.environ.get("BENCH_W_FILTER_WARMUP"):
+        cfg.update.window_filter_warmup = int(
+            os.environ["BENCH_W_FILTER_WARMUP"]
+        )
     cfg.mpc.horizon = horizon
     cfg.switch_step = steps // 2  # live time-varying parameters mid-run
     if preset == "duffing":

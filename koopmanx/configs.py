@@ -98,6 +98,14 @@ class UpdateConfig:
     # iterations = stronger filtering of weak Gram directions AND a
     # shorter hot chain (the tank loop's dominant cost).
     window_filter: int = 24
+    # step-scheduled filter: >0 switches to this (shorter) Schulz chain
+    # after window_filter_warmup steps — resolves the warm-up-vs-tail
+    # conflict of a static window_filter (see EngineConfig)
+    window_filter_late: int = 0
+    window_filter_warmup: int = 300
+    # 'windowed' mode: run the Schulz-chain refit only every k-th step
+    # (ring buffer still absorbs every observation; model held between)
+    window_refit_every: int = 1
     symmetrize: bool = True
     c_pairing: str = "next"  # next (python) | same (matlab)
 
@@ -320,6 +328,33 @@ def duffing_rbf_preset() -> RunConfig:
     )
 
 
+def duffing_rbf128_preset() -> RunConfig:
+    """Large-lift scaling preset: 126 thinplate-eps RBF centers (KMeans)
+    + state augmentation = nlift 128 — an order of magnitude past the
+    reference's toy dictionaries (Nlift 8-13). The reference's RBF builder
+    is K-center-general (``rbf.m:10-45``, ``Tank_System.m:62-68`` just picks
+    tiny K); this preset is the scaling-axis evidence that the framework's
+    abstractions (encoders, Markov build, estimator, QP, guards) hold at a
+    production-scale dictionary."""
+    cfg = duffing_rbf_preset()
+    cfg.lift.nlift = 126
+    cfg.steps = 3000
+    # The estimator choice is load-bearing at this size (measured,
+    # 2026-08-20, CPU f32 2000-step loop): the offline pinv fit's default
+    # rcond truncation leaves a ~0.09 steady tracking offset (its bias);
+    # the exact solve is unstable (rho(A)=6.5 — noise-dominated weak
+    # directions); scratch 128-dim sqrt-RLS wanders; the SLIDING WINDOW
+    # refits from recent (local) closed-loop data and lands at 5e-4 —
+    # at large lift the windowed estimator is the bias-correction
+    # mechanism, not just the f32-robustness one. Its per-step Schulz
+    # chains are (129,129) matmuls — MXU-shaped at this size, unlike the
+    # tank's (11,11) (BENCHMARKS.md tiny-shape negatives don't apply).
+    cfg.update = UpdateConfig(
+        mode="windowed", window=256, ridge=3e-2, c_pairing="next"
+    )
+    return cfg
+
+
 def toy1d_preset() -> RunConfig:
     """One_Dimensional_Toy_Example_Continuous_System.m: state-augmented NN
     lift phi=[x; Enc(x)] (:25-27), MATLAB RK4, open-loop validation focus;
@@ -392,6 +427,7 @@ PRESETS = {
     "duffing_selftrained": duffing_selftrained_preset,
     "vanderpol_selftrained": vanderpol_selftrained_preset,
     "duffing_rbf": duffing_rbf_preset,
+    "duffing_rbf128": duffing_rbf128_preset,
     "vanderpol_rbf": vanderpol_rbf_preset,
     "vanderpol": vdp_lifted_preset,
     "tank": tank_preset,

@@ -100,8 +100,13 @@ def make_step_fn(dictionary: Dictionary, cfg: EngineConfig, ref_fn):
             # ---- online update with the (z_prev, u_prev, z) pair ----
             if cfg.update != "off":
                 c_target = x if cfg.c_pairing == "next" else state.x_prev
+                # the pair absorbed at call k belongs to LOOP step k-1 (see
+                # docstring), so the estimator's step-driven schedules
+                # (windowed refit cadence / filter switch) see k-1 — keeps
+                # serving ≡ loop under those modes
                 rls_new, model_new = estimate(
-                    rls, model, state.z_prev, state.u_prev, z, c_target
+                    rls, model, state.z_prev, state.u_prev, z, c_target,
+                    step_idx - 1,
                 )
                 residual = jnp.linalg.norm(
                     z - (model.A @ state.z_prev + model.B @ state.u_prev)
@@ -126,7 +131,11 @@ def make_step_fn(dictionary: Dictionary, cfg: EngineConfig, ref_fn):
                 rls=rls,
                 u_prev=dec.u_applied,
                 warm_x=dec.warm_x,
-                warm_y=dec.sol.y,
+                warm_y=(
+                    dec.sol.y
+                    if cfg.qp_warm_start == "full"
+                    else state.warm_y
+                ),
                 z_prev=z,
                 x_prev=x,
                 have_prev=jnp.asarray(True),
@@ -148,7 +157,8 @@ def initial_state(dictionary: Dictionary, cfg: EngineConfig,
     m = params.r_block.shape[-1]
     n = model0.C.shape[0] if n is None else n
     dtype = params.q_block.dtype
-    nc = dual_dim(cfg, params, m)
+    # dual warm start carried only under 'full' warm starts (see LoopCarry)
+    nc = dual_dim(cfg, params, m) if cfg.qp_warm_start == "full" else 0
     return ControllerState(
         model=model0,
         rls=rls0,

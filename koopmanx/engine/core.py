@@ -155,6 +155,25 @@ class EngineConfig:
     # 'windowed' update: Schulz iterations of the per-step refit (the
     # spectral-filter strength / hot-chain length, edmd/windowed.py)
     window_filter: int = 24
+    # Step-scheduled filter strength (resolves the round-3 warm-up-vs-tail
+    # knob conflict, BENCHMARKS.md "Tank-path attribution"): when
+    # window_filter_late > 0, steps >= window_filter_warmup refit with the
+    # SHORTER window_filter_late Schulz chain — measured better post-switch
+    # tracking AND roughly half the chain cost — while the warm-up keeps
+    # the longer window_filter chain whose weaker spectral filtering adapts
+    # faster from the sparse early window. Branch on the unbatched scan
+    # index: a REAL branch under the scenario vmap (one chain executes per
+    # step). 0 disables (static filter, round-3 semantics).
+    window_filter_late: int = 0
+    window_filter_warmup: int = 300
+    # Refit cadence: re-extract (A, B, C) from the window every k-th step
+    # only (the ring buffer still absorbs every observation, so no data is
+    # lost — the model is just held between refits). The tank step's
+    # dominant cost is the two Schulz chains of the PER-STEP refit
+    # (~24 ms/step at batch 8192); k>1 divides that cost by k at the price
+    # of a k-step model staleness bound — the same trade the kkt re-anchor
+    # makes. 1 = refit every step (parity semantics).
+    window_refit_every: int = 1
     # Persistent excitation: a small deterministic multi-sine probe added
     # to the applied input (within bounds). Closed-loop data alone is not
     # persistently exciting — after a plant change (or from an absorbing
@@ -733,12 +752,15 @@ def make_estimator_update(dictionary: Dictionary, cfg: EngineConfig):
     ``c_target`` is the output-regression target already resolved by the
     caller (``x_next`` for c_pairing='next', ``x`` for 'same') — the two
     harnesses see the pair at different times, so the pairing is theirs.
+    ``step`` is the caller's step index (the loop's scan index / the
+    serving controller's episode clock) — it drives the windowed refit
+    cadence and the step-scheduled filter; other modes ignore it.
     Returns ``(rls, new_model)``. With ``cfg.update == 'off'`` both pass
     through unchanged.
     """
 
     def estimator_update(rls, model: LinearModel, z: Array, u: Array,
-                         z_next: Array, c_target: Array):
+                         z_next: Array, c_target: Array, step: Array):
         if cfg.update == "rls":
             rls_new = rls_update_ab(
                 rls, z, u, z_next,
@@ -766,10 +788,47 @@ def make_estimator_update(dictionary: Dictionary, cfg: EngineConfig):
             new_model = sqrt_rls_model(rls_new, dictionary.nlift)
         elif cfg.update == "windowed":
             rls_new = window_update(rls, z, u, z_next, c_target)
-            new_model = window_model(
-                rls_new, dictionary.nlift, ridge=max(cfg.rls_ridge, 1e-5),
-                schulz_iters=cfg.window_filter,
-            )
+            ridge = max(cfg.rls_ridge, 1e-5)
+
+            def refit():
+                if cfg.window_filter_late > 0:
+                    # step-scheduled filter: long warm-up chain, short
+                    # (stronger-filtering, cheaper) late chain — cond on
+                    # the unbatched scan index is a real branch under vmap
+                    return jax.lax.cond(
+                        step < cfg.window_filter_warmup,
+                        lambda: window_model(
+                            rls_new, dictionary.nlift, ridge=ridge,
+                            schulz_iters=cfg.window_filter,
+                        ),
+                        lambda: window_model(
+                            rls_new, dictionary.nlift, ridge=ridge,
+                            schulz_iters=cfg.window_filter_late,
+                        ),
+                    )
+                return window_model(
+                    rls_new, dictionary.nlift, ridge=ridge,
+                    schulz_iters=cfg.window_filter,
+                )
+
+            if cfg.window_refit_every > 1:
+                # refit cadence: the ring buffer absorbed the observation
+                # above regardless; the Schulz-chain extraction — the tank
+                # step's dominant cost — only runs on cadence steps, the
+                # carried model is held between (k-step staleness bound,
+                # same structure as the kkt re-anchor). The warm-up phase
+                # (step < window_filter_warmup) always refits: holding a
+                # 4-step-stale model while the window is still sparse blew
+                # the pre-switch transient to 1.65 (gate: <1.5; every-step
+                # warm-up stays at the validated ~1.26).
+                new_model = jax.lax.cond(
+                    (step < cfg.window_filter_warmup)
+                    | (step % cfg.window_refit_every == 0),
+                    refit,
+                    lambda: model,
+                )
+            else:
+                new_model = refit()
         elif cfg.update == "storage":
             rls_new = storage_update(rls, z, u, z_next, c_target)
             new_model = storage_model(rls_new, dictionary.nlift)

@@ -110,7 +110,7 @@ def make_local_linear_loop(
             x=x_next,
             u_applied=dec.u_applied,
             warm_x=dec.warm_x,
-            warm_y=dec.sol.y,
+            warm_y=dec.sol.y if cfg.qp_warm_start == "full" else carry.warm_y,
             cert=dec.cert,
         )
         log = LocalLinearLog(
@@ -136,7 +136,7 @@ def make_local_linear_loop(
         theta_sched = make_switch_schedule(th0, th1, cfg.switch_step)
 
         n_dec = cfg.horizon * m
-        nc = dual_dim(cfg, params, m)
+        nc = dual_dim(cfg, params, m) if cfg.qp_warm_start == "full" else 0
         carry0 = LocalLinearCarry(
             x=x0,
             u_applied=jnp.zeros((m,), dtype) if u0 is None else u0,

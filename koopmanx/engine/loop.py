@@ -64,7 +64,11 @@ class LoopCarry(NamedTuple):
     model: LinearModel
     rls: Any  # RLSState | StorageState | None-like zeros
     warm_x: Array  # QP primal warm start (N*m,)
-    warm_y: Array  # QP dual warm start (nc,)
+    # QP dual warm start (nc,) — carried ONLY under qp_warm_start='full';
+    # the default 'primal' mode never reads it, so it is slimmed to a
+    # zero-length array there (carry-copy HBM bandwidth is the measured
+    # limiter past the 8192-scenario knee, BENCHMARKS.md r3)
+    warm_y: Array
     res_ema: Array  # running residual average (change detection)
     # last sane terminal certificate (P, K, gamma) — per-step DARE/LMI
     # synthesis on a TRANSIENT estimated model can legitimately fail (a
@@ -147,7 +151,7 @@ def make_closed_loop(
         # Tank_System.m:259) ----
         c_target = x_next if cfg.c_pairing == "next" else x
         rls, new_model = estimator_update(
-            carry.rls, model, z, u_applied, z_next, c_target
+            carry.rls, model, z, u_applied, z_next, c_target, step
         )
 
         # ---- change detection: event-triggered statistic reset ----
@@ -243,7 +247,7 @@ def make_closed_loop(
             model=new_model,
             rls=rls,
             warm_x=dec.warm_x,
-            warm_y=sol.y,
+            warm_y=sol.y if cfg.qp_warm_start == "full" else carry.warm_y,
             res_ema=res_ema,
             cert=dec.cert,
             kkt_inv=dec.kkt_inv,
@@ -289,7 +293,7 @@ def make_closed_loop(
         theta_sched = make_switch_schedule(th0, th1, cfg.switch_step)
 
         n_dec = horizon * m
-        nc = dual_dim(cfg, params, m)
+        nc = dual_dim(cfg, params, m) if cfg.qp_warm_start == "full" else 0
         if carry0 is None:
             carry0 = LoopCarry(
                 x=x0,

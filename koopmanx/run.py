@@ -212,6 +212,9 @@ def engine_config(cfg: C.RunConfig) -> EngineConfig:
         reset_mult=uc.reset_mult,
         reset_factor=uc.reset_factor,
         window_filter=uc.window_filter,
+        window_filter_late=uc.window_filter_late,
+        window_filter_warmup=uc.window_filter_warmup,
+        window_refit_every=uc.window_refit_every,
         dither=uc.dither,
         symmetrize=uc.symmetrize,
         switch_step=cfg.switch_step,

@@ -84,6 +84,20 @@ def _assert_equiv(cfg, steps=STEPS, tol=1e-6):
         # most noise-amplifying mode (observed 1.9e-6 over 50 steps)
         ("rls_chol", {"reset_mult": 4.0}, 1e-4),
         ("windowed", {"window": 32}, 1e-6),
+        # refit cadence + step-scheduled filter: the estimator's
+        # step-driven schedules must line up across harnesses (the serving
+        # controller absorbs each pair one call later, so it passes the
+        # pair's ORIGIN step k-1 to the estimator)
+        (
+            "windowed",
+            {
+                "window": 32,
+                "window_refit_every": 3,
+                "window_filter_late": 12,
+                "window_filter_warmup": 10,
+            },
+            1e-6,
+        ),
         ("storage", {}, 1e-6),
         ("off", {}, 1e-6),
     ],

@@ -103,6 +103,42 @@ def test_windowed_estimator_readapts_through_switch_f32():
     assert abs(x2[-60:].mean() - 1.0) < 0.1, x2[-10:]
 
 
+def test_windowed_refit_cadence_and_scheduled_filter_readapt():
+    """The perf schedule (refit every k-th step + shorter late Schulz
+    chain) must keep the windowed estimator's defining property: full f32
+    re-adaptation through the Tank plant switch — AND keep the warm-up
+    transient bounded (the static short chain violated it, BENCHMARKS.md
+    'Tank-path attribution')."""
+    def run(knobs):
+        cfg = C.tank_preset()
+        cfg.steps = 700
+        cfg.dtype = "float32"
+        cfg.data = C.DataConfig(
+            n_step=40, n_traj=40, u_range=(-5.0, 5.0), clamp_x0=True
+        )
+        for k, v in knobs.items():
+            setattr(cfg.update, k, v)
+        pipe = build_pipeline(cfg)
+        _, log = run_single(pipe)
+        return np.asarray(log.x[:, 1], dtype=np.float64), cfg.switch_step
+
+    x2_def, sw = run({})
+    x2, _ = run({
+        "window_refit_every": 4,
+        "window_filter_late": 12,
+        "window_filter_warmup": 300,
+    })
+    assert np.isfinite(x2).all()
+    assert abs(x2[-60:].mean() - 1.0) < 0.1, x2[-10:]
+    # warm-up gate: the schedule refits EVERY step with the long chain
+    # during warm-up, so the pre-switch transient must match the default
+    # path (a 4-step-stale model during the sparse-window phase blew it
+    # to 1.65 before the warm-up gating of the cadence)
+    assert x2[:sw].max() <= x2_def[:sw].max() + 1e-3, (
+        x2[:sw].max(), x2_def[:sw].max()
+    )
+
+
 def test_windowed_unit_semantics():
     """Ring-buffer mechanics + refit equals a direct lstsq on the window."""
     import jax

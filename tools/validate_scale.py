@@ -49,6 +49,12 @@ def main():
         cfg.matmul_precision = prec
     if os.environ.get("QP_ITERS"):
         cfg.mpc.qp_iters = int(os.environ["QP_ITERS"])
+    if os.environ.get("W_REFIT_EVERY"):
+        cfg.update.window_refit_every = int(os.environ["W_REFIT_EVERY"])
+    if os.environ.get("W_FILTER_LATE"):
+        cfg.update.window_filter_late = int(os.environ["W_FILTER_LATE"])
+    if os.environ.get("W_FILTER_WARMUP"):
+        cfg.update.window_filter_warmup = int(os.environ["W_FILTER_WARMUP"])
     pipe = build_pipeline(cfg)
 
     t0 = time.perf_counter()
@@ -89,6 +95,13 @@ def main():
         "final_residual": float(np.asarray(log.residual)[-1]),
     }
     out["dtype"] = cfg.dtype
+    if preset == "tank":
+        # warm-up gate inputs: the pre-switch transient overshoot (r3
+        # reference value 1.26 with the static 24-chain; the static
+        # 12-chain violated it at 1.81) and the post-switch tail
+        sw = min(cfg.switch_step, steps)
+        out["pre_switch_overshoot"] = float(y[:sw].max())
+        out["post_switch_tail_mean"] = float(y[tail].mean())
     if cfg.mpc.terminal_synthesis:
         v = np.asarray(log.lyapunov, dtype=np.float64)
         out["lyapunov_first"] = float(v[0])
