@@ -388,14 +388,23 @@ def vanderpol_rbf_preset() -> RunConfig:
 def duffing_selftrained_preset() -> RunConfig:
     """The fully self-contained pipeline: the duffing scenario controlled
     by the encoder trained in-repo by koopmanx.train (no reference
-    artifacts involved anywhere)."""
+    artifacts involved anywhere).
+
+    Ships the reference-scale KMAE artifact — the champion on BOTH
+    reference-comparable metrics (round 4, BENCHMARKS.md "The champion
+    split, resolved"): open-loop 500-step RMSE 0.0332 vs the reference
+    encoder's 0.0391, closed-loop steady error 7e-5 at 1000 steps vs
+    4.1e-4. The round-3 'closed-loop champion split' was an evaluation-
+    window artifact: this encoder's richer local features make the
+    scratch RLS identify more directions (slower first ~500 steps,
+    far better asymptote); the flagship scenario is 10000 steps."""
     cfg = duffing_nn_preset()
     import os
 
     cfg.lift.weights_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "artifacts",
-        "duffing_kmae_encoder.mat",
+        "duffing_kmae_refscale_encoder.mat",
     )
     return cfg
 
@@ -408,7 +417,12 @@ def vanderpol_selftrained_preset() -> RunConfig:
     hand-picked Good_VDP weights but a generically-trained KMAE encoder
     settles at the wrong point (the cost ||z - Enc(r)||^2 only aligns with
     the output objective near r for a well-conditioned encoder); output
-    tracking is robust to the encoder choice."""
+    tracking is robust to the encoder choice.
+
+    Ships the reference-scale KMAE artifact — champion on BOTH metrics in
+    this harness (round 4): open-loop 0.0328 vs Good_VDP's 0.0504;
+    closed-loop steady error 3.7e-4 at 300 steps / 6.2e-4 at 1000 vs
+    Good_VDP's 1.2e-3 / 7.8e-4 under the identical scenario."""
     import os
 
     cfg = vdp_lifted_preset()
@@ -417,7 +431,7 @@ def vanderpol_selftrained_preset() -> RunConfig:
     cfg.lift.weights_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "artifacts",
-        "vanderpol_kmae_encoder.mat",
+        "vanderpol_kmae_refscale_encoder.mat",
     )
     return cfg
 

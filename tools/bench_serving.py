@@ -41,14 +41,102 @@ def _timeit(fn, reps=20):
     return best, t_all / reps
 
 
+def _hlo_op_count(jitted, *args) -> int:
+    """Instruction count of the compiled program — the 'program size' axis
+    of the latency curve (proxy: '= op(' lines in the optimized HLO)."""
+    txt = jitted.lower(*args).compile().as_text()
+    return sum(1 for line in txt.splitlines() if " = " in line)
+
+
+def curve_main(args):
+    """Dispatch-latency vs program-size curve (VERDICT r3 item 4): build
+    the serving Controller under progressively smaller step programs and
+    measure single-plant round-trip vs compiled op count — separates the
+    environment's per-dispatch floor from program-size cost. Variants:
+
+      full        the production duffing serving step (update on, 60 ADMM)
+      no_update   estimator stripped (update='off')
+      admm20/5    fewer ADMM iterations
+      lean        no_update + admm20 (a serving-lean trace)
+      tiny        a jitted identity on the same state (environment floor)
+    """
+    import numpy as np
+
+    from koopmanx import configs as C
+    from koopmanx.engine.controller import Controller
+    from koopmanx.run import _dtype, _ref_fn, build_pipeline
+
+    def build(update, qp_iters, horizon=20):
+        cfg = C.duffing_nn_preset()
+        cfg.steps = 10
+        cfg.mpc.horizon = horizon
+        cfg.mpc.qp_iters = qp_iters
+        cfg.update.mode = update
+        cfg.data = C.DataConfig(n_step=25, n_traj=25)
+        cfg.lift = C.LiftConfig(kind="mlp", nlift=8)
+        pipe = build_pipeline(cfg)
+        ref_fn = _ref_fn(
+            cfg, pipe.dictionary, pipe.params.q_block.shape[0], _dtype(cfg)
+        )
+        return pipe, Controller(
+            pipe.dictionary, pipe.engine_cfg, pipe.params, ref_fn,
+            pipe.model0, pipe.rls0,
+        )
+
+    variants = [
+        ("full", ("rls_sqrt", 60, 20)),
+        ("no_update", ("off", 60, 20)),
+        ("admm20", ("rls_sqrt", 20, 20)),
+        ("admm5", ("rls_sqrt", 5, 20)),
+        ("horizon10", ("rls_sqrt", 60, 10)),
+        ("lean", ("off", 20, 10)),
+    ]
+    rows = []
+    for name, (upd, iters, hor) in variants:
+        pipe, ctrl = build(upd, iters, hor)
+        x0 = jnp.asarray(pipe.x_init)
+        ctrl.step(x0)  # compile
+        ops = _hlo_op_count(
+            ctrl._step, ctrl.params, ctrl.state, x0,
+            jnp.asarray(ctrl._k),
+        )
+
+        def one():
+            u = ctrl.step(x0)
+            u.block_until_ready()
+
+        best, mean = _timeit(one, args.reps)
+        rows.append({
+            "variant": name, "hlo_ops": ops,
+            "best_ms": round(best * 1e3, 3), "mean_ms": round(mean * 1e3, 3),
+        })
+        print(json.dumps(rows[-1]), flush=True)
+
+    dummy = jnp.zeros((8, 8), jnp.float32)
+    ident = jax.jit(lambda a: a + 1.0)
+    ident(dummy).block_until_ready()
+    t_best, t_mean = _timeit(lambda: ident(dummy).block_until_ready(), args.reps)
+    rows.append({
+        "variant": "tiny_identity", "hlo_ops": _hlo_op_count(ident, dummy),
+        "best_ms": round(t_best * 1e3, 3), "mean_ms": round(t_mean * 1e3, 3),
+    })
+    print(json.dumps({"curve": rows, "device": str(jax.devices()[0])}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--batches", default="1,256,4096")
     ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--curve", action="store_true",
+                    help="measure the dispatch-latency-vs-program-size "
+                         "curve instead of the fleet table")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.curve:
+        curve_main(args)
+        return
 
     import numpy as np
 
