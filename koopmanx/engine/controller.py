@@ -54,7 +54,7 @@ class ControllerState(NamedTuple):
     rls: Any
     u_prev: Array  # last applied input / U0 accumulator
     warm_x: Array  # QP primal warm start
-    warm_y: Array  # QP dual warm start
+    warm_y: Any  # QP dual warm start (only under qp_warm_start='full'; () else)
     z_prev: Array  # lift of the previous measurement (for the RLS pair)
     x_prev: Array  # previous measurement (c_pairing='same' target)
     have_prev: Array  # bool scalar: first call has no (z, u, z+) pair yet
@@ -157,14 +157,17 @@ def initial_state(dictionary: Dictionary, cfg: EngineConfig,
     m = params.r_block.shape[-1]
     n = model0.C.shape[0] if n is None else n
     dtype = params.q_block.dtype
-    # dual warm start carried only under 'full' warm starts (see LoopCarry)
-    nc = dual_dim(cfg, params, m) if cfg.qp_warm_start == "full" else 0
+    nc = dual_dim(cfg, params, m)
     return ControllerState(
         model=model0,
         rls=rls0,
         u_prev=jnp.zeros((m,), dtype),
         warm_x=jnp.zeros((cfg.horizon * m,), dtype),
-        warm_y=jnp.zeros((nc,), dtype),
+        # dual warm start carried only under 'full' warm starts — () else,
+        # the kkt_inv empty-pytree pattern (see LoopCarry.warm_y)
+        warm_y=(
+            jnp.zeros((nc,), dtype) if cfg.qp_warm_start == "full" else ()
+        ),
         z_prev=jnp.zeros((dictionary.nlift,), dtype),
         x_prev=jnp.zeros((n,), dtype),
         have_prev=jnp.asarray(False),

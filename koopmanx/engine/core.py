@@ -701,7 +701,12 @@ def _make_lqr_solver(dictionary: Dictionary, cfg: EngineConfig, ref_fn,
         sol = QPSolution(
             x=jnp.zeros((horizon * m,), dtype),
             z=jnp.zeros((horizon * m,), dtype),
-            y=jnp.zeros_like(warm_y),
+            # warm_y is () unless qp_warm_start='full' (LoopCarry slimming)
+            y=(
+                jnp.zeros((0,), dtype)
+                if isinstance(warm_y, tuple)
+                else jnp.zeros_like(warm_y)
+            ),
             primal_res=jnp.zeros((), dtype),
             dual_res=jnp.zeros((), dtype),
             iterations=jnp.zeros((), jnp.int32),

@@ -136,12 +136,16 @@ def make_local_linear_loop(
         theta_sched = make_switch_schedule(th0, th1, cfg.switch_step)
 
         n_dec = cfg.horizon * m
-        nc = dual_dim(cfg, params, m) if cfg.qp_warm_start == "full" else 0
+        nc = dual_dim(cfg, params, m)
         carry0 = LocalLinearCarry(
             x=x0,
             u_applied=jnp.zeros((m,), dtype) if u0 is None else u0,
             warm_x=jnp.zeros((n_dec,), dtype),
-            warm_y=jnp.zeros((nc,), dtype),
+            warm_y=(
+                jnp.zeros((nc,), dtype)
+                if cfg.qp_warm_start == "full"
+                else ()
+            ),
             cert=initial_cert(cfg, params, aug.nlift, m, dtype),
         )
 

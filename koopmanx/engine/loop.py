@@ -65,10 +65,12 @@ class LoopCarry(NamedTuple):
     rls: Any  # RLSState | StorageState | None-like zeros
     warm_x: Array  # QP primal warm start (N*m,)
     # QP dual warm start (nc,) — carried ONLY under qp_warm_start='full';
-    # the default 'primal' mode never reads it, so it is slimmed to a
-    # zero-length array there (carry-copy HBM bandwidth is the measured
-    # limiter past the 8192-scenario knee, BENCHMARKS.md r3)
-    warm_y: Array
+    # the default 'primal' mode never reads it, so it is slimmed to the
+    # empty pytree () there, same pattern as kkt_inv (carry-copy HBM
+    # bandwidth is the measured limiter past the 8192-scenario knee; a
+    # zero-LENGTH array instead of () trips shard_map's out-spec — XLA
+    # forces 0-size outputs to replicated)
+    warm_y: Any
     res_ema: Array  # running residual average (change detection)
     # last sane terminal certificate (P, K, gamma) — per-step DARE/LMI
     # synthesis on a TRANSIENT estimated model can legitimately fail (a
@@ -293,7 +295,7 @@ def make_closed_loop(
         theta_sched = make_switch_schedule(th0, th1, cfg.switch_step)
 
         n_dec = horizon * m
-        nc = dual_dim(cfg, params, m) if cfg.qp_warm_start == "full" else 0
+        nc = dual_dim(cfg, params, m)
         if carry0 is None:
             carry0 = LoopCarry(
                 x=x0,
@@ -301,7 +303,11 @@ def make_closed_loop(
                 model=model0,
                 rls=rls0,
                 warm_x=jnp.zeros((n_dec,), dtype),
-                warm_y=jnp.zeros((nc,), dtype),
+                warm_y=(
+                    jnp.zeros((nc,), dtype)
+                    if cfg.qp_warm_start == "full"
+                    else ()
+                ),
                 res_ema=jnp.zeros((), dtype),
                 cert=initial_cert(cfg, params, dictionary.nlift, m, dtype),
                 kkt_inv=initial_kkt_inv(cfg, m, dtype),
