@@ -328,6 +328,40 @@ def duffing_rbf_preset() -> RunConfig:
     )
 
 
+def tank3_preset() -> RunConfig:
+    """Three-tank cascade (systems/library.py::TANK3) — the first n=3
+    plant: Δu formulation tracking the LAST tank's level (Cy selects x3),
+    windowed estimator through the mid-run outlet-coefficient switch,
+    thinplate RBF lift over the 3-dim state. Exercises output selection,
+    the Δu accumulator, and the >2-state plotting/monitor paths the
+    reference never reaches (its systems are all n <= 2)."""
+    return RunConfig(
+        system="tank3",
+        steps=3000,
+        switch_step=100,
+        mpc=MPCConfig(
+            horizon=20,
+            q_weight=10.0,
+            r_weight=1e-3,
+            delta_u=True,
+            du_min=-0.5,
+            du_max=0.5,
+            applied_min=-8.0,
+            applied_max=8.0,
+            cy_index=2,
+        ),
+        update=UpdateConfig(
+            mode="windowed", window=256, ridge=3e-2, c_ab=1e4, c_c=1e4,
+            c_pairing="same",
+        ),
+        lift=LiftConfig(
+            kind="rbf", nlift=12, rbf_type="thinplate", rbf_centers="random",
+            normalize=True, state_augmented=True,
+        ),
+        data=DataConfig(u_range=(-5.0, 5.0), clamp_x0=True),
+    )
+
+
 def duffing_rbf128_preset() -> RunConfig:
     """Large-lift scaling preset: 126 thinplate-eps RBF centers (KMeans)
     + state augmentation = nlift 128 — an order of magnitude past the
@@ -445,6 +479,7 @@ PRESETS = {
     "vanderpol_rbf": vanderpol_rbf_preset,
     "vanderpol": vdp_lifted_preset,
     "tank": tank_preset,
+    "tank3": tank3_preset,
     "revise2_duffing": revise2_duffing_preset,
     "revise2_vdp": revise2_vdp_preset,
     "toy1d": toy1d_preset,

@@ -372,7 +372,7 @@ def _build_pipeline_on_host(cfg: C.RunConfig, x_init=None) -> Pipeline:
         x_init = jnp.asarray(cfg.x0, dtype)  # preset-pinned initial state
     if x_init is None:
         x_init = jnp.full((system.n,), -2.0, dtype)  # duffing.py:650 init
-        if system.name == "tank":
+        if system.name in ("tank", "tank3"):
             x_init = jnp.zeros((system.n,), dtype)  # Tank_System.m:125
     else:
         x_init = jnp.asarray(x_init, dtype)

@@ -97,6 +97,51 @@ TANK = System(
 )
 
 
+class Tank3Params(NamedTuple):
+    """Three-tank cascade — the reference's exact discrete two-tank map
+    (Tank_System.m:9-10) extended by one stage; the first state dim > 2 in
+    the registry, exercising n-generality (output selectors, monitors,
+    plotting guards) end-to-end:
+
+    x1+ = x1 - c1*sqrt(x1) + c2*u
+    x2+ = x2 + c3*sqrt(x1) - c4*sqrt(x2)
+    x3+ = x3 + c5*sqrt(x2) - c6*sqrt(x3)
+    """
+
+    c1: Array
+    c2: Array
+    c3: Array
+    c4: Array
+    c5: Array
+    c6: Array
+
+
+def _tank3_step(x, u, th: Tank3Params):
+    s1 = jnp.sqrt(jnp.maximum(x[0], 0.0))
+    s2 = jnp.sqrt(jnp.maximum(x[1], 0.0))
+    s3 = jnp.sqrt(jnp.maximum(x[2], 0.0))
+    return jnp.stack(
+        [
+            x[0] - th.c1 * s1 + th.c2 * u[0],
+            x[1] + th.c3 * s1 - th.c4 * s2,
+            x[2] + th.c5 * s2 - th.c6 * s3,
+        ]
+    )
+
+
+TANK3 = System(
+    name="tank3",
+    n=3,
+    m=1,
+    step_map=_tank3_step,
+    discrete=True,
+    theta0=Tank3Params(c1=0.5, c2=0.4, c3=0.2, c4=0.3, c5=0.2, c6=0.25),
+    # switch mirrors the reference's outlet-coefficient drift pattern
+    theta1=Tank3Params(c1=0.53, c2=0.3, c3=0.1, c4=0.35, c5=0.22, c6=0.27),
+    clamp=lambda x: jnp.maximum(x, 0.0),
+)
+
+
 class Toy1dParams(NamedTuple):
     """x' = a2*x^2 + a3*x^3 + a1*x + u
     (One_Dimensional_Toy_Example_Continuous_System.m:4)."""
@@ -146,7 +191,9 @@ APPROACH3 = System(
 )
 
 
-REGISTRY = {s.name: s for s in (DUFFING, VANDERPOL, TANK, TOY1D, APPROACH3)}
+REGISTRY = {
+    s.name: s for s in (DUFFING, VANDERPOL, TANK, TANK3, TOY1D, APPROACH3)
+}
 
 
 def get_system(name: str) -> System:

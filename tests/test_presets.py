@@ -54,6 +54,38 @@ def test_duffing_rbf128_large_lift_tracks():
     assert abs(x[-60:, 0].mean() - 1.0) < 0.02, x[-5:, 0]
 
 
+def test_tank3_three_state_cascade_tracks(tmp_path):
+    """First n=3 plant (systems/library.py::TANK3): the Δu loop must track
+    the LAST tank's level through the outlet-coefficient switch, and the
+    figure bundle's spectral path must handle a >2-state system (skip the
+    2-D eigenfunction gallery instead of crashing — advisor finding r3)."""
+    cfg = C.PRESETS["tank3"]()
+    cfg.steps = 700
+    cfg.data = C.DataConfig(
+        n_step=40, n_traj=40, u_range=(-5.0, 5.0), clamp_x0=True
+    )
+    pipe = build_pipeline(cfg)
+    _, log = run_single(pipe)
+    x = np.asarray(log.x)
+    u = np.asarray(log.u)
+    assert np.isfinite(x).all() and np.isfinite(u).all()
+    assert np.abs(u).max() <= 8.0 + 1e-6
+    assert abs(x[-60:, 2].mean() - 1.0) < 0.1, x[-5:, 2]
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from koopmanx.eval.plots import save_figure_bundle
+
+    save_figure_bundle(
+        str(tmp_path / "tank3"), log, h=0.05, u_bounds=(-8, 8),
+        spectral=(pipe.model0, pipe.dictionary),
+    )
+    assert (tmp_path / "tank3_spectrum.png").exists()
+    # the 2-D gallery is skipped for n=3, not crashed on
+    assert not (tmp_path / "tank3_eigenfunctions.png").exists()
+
+
 def test_all_presets_build():
     """Schema check: every registered preset constructs, serializes
     through the JSON round-trip, and exposes a valid engine config."""

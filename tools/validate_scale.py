@@ -35,6 +35,7 @@ def main():
         "revise2": C.revise2_duffing_preset,
         "revise2_vdp": C.revise2_vdp_preset,
         "duffing_rbf": C.duffing_rbf_preset,
+        "duffing_rbf128": C.duffing_rbf128_preset,
         "toy1d": C.toy1d_preset,
     }[preset]
     cfg = factory()
