@@ -362,6 +362,33 @@ def tank3_preset() -> RunConfig:
     )
 
 
+def pendulum_preset() -> RunConfig:
+    """Damped torque-driven pendulum (systems/library.py::PENDULUM) — the
+    first transcendental nonlinearity in the registry (sin(x1); the
+    reference's plants are all polynomial or sqrt). Tracks the constant
+    angle x1 = 1 rad, a NON-equilibrium setpoint needing steady torque
+    u* = a*sin(1)/k (3.37 nominal, 5.05 after the mass switch — inside the
+    ±6 bound but close enough that the gain must be re-identified online,
+    not just absorbed by feedback). Recipe mirrors the tank: thinplate RBF
+    over the state, windowed estimator through the switch."""
+    return RunConfig(
+        system="pendulum",
+        steps=2000,
+        switch_step=1000,
+        mpc=MPCConfig(
+            horizon=20, q_weight=10.0, r_weight=1e-3, u_min=-6.0, u_max=6.0,
+        ),
+        update=UpdateConfig(
+            mode="windowed", window=256, ridge=3e-2, c_pairing="same",
+        ),
+        lift=LiftConfig(
+            kind="rbf", nlift=12, rbf_type="thinplate", rbf_centers="random",
+            normalize=True, state_augmented=True,
+        ),
+        data=DataConfig(u_range=(-6.0, 6.0), x0_range=(-2.0, 2.0)),
+    )
+
+
 def duffing_rbf128_preset() -> RunConfig:
     """Large-lift scaling preset: 126 thinplate-eps RBF centers (KMeans)
     + state augmentation = nlift 128 — an order of magnitude past the
@@ -480,6 +507,7 @@ PRESETS = {
     "vanderpol": vdp_lifted_preset,
     "tank": tank_preset,
     "tank3": tank3_preset,
+    "pendulum": pendulum_preset,
     "revise2_duffing": revise2_duffing_preset,
     "revise2_vdp": revise2_vdp_preset,
     "toy1d": toy1d_preset,

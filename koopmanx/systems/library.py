@@ -142,6 +142,40 @@ TANK3 = System(
 )
 
 
+class PendulumParams(NamedTuple):
+    """Damped torque-driven pendulum — the registry's first transcendental
+    (non-polynomial, non-sqrt) nonlinearity:
+
+    x1' = x2 ; x2' = -a*sin(x1) - b*x2 + k*u
+
+    with a = g/l, b = c/(m l^2) the damping rate, and k = 1/(m l^2) the
+    torque gain. The mid-run switch models the payload mass growing 50%
+    (m -> 1.5 m): ``a`` is mass-independent, while ``b`` and ``k`` both
+    shrink by 1/1.5 — the online update must re-identify the input gain or
+    the loop settles with a steady tracking offset.
+    """
+
+    a: Array
+    b: Array
+    k: Array
+
+
+def _pendulum_f(t, x, u, th: PendulumParams):
+    del t
+    x1, x2 = x[0], x[1]
+    return jnp.stack([x2, -th.a * jnp.sin(x1) - th.b * x2 + th.k * u[0]])
+
+
+PENDULUM = System(
+    name="pendulum",
+    n=2,
+    m=1,
+    f=_pendulum_f,
+    theta0=PendulumParams(a=4.0, b=0.5, k=1.0),
+    theta1=PendulumParams(a=4.0, b=1.0 / 3.0, k=2.0 / 3.0),
+)
+
+
 class Toy1dParams(NamedTuple):
     """x' = a2*x^2 + a3*x^3 + a1*x + u
     (One_Dimensional_Toy_Example_Continuous_System.m:4)."""
@@ -192,7 +226,8 @@ APPROACH3 = System(
 
 
 REGISTRY = {
-    s.name: s for s in (DUFFING, VANDERPOL, TANK, TANK3, TOY1D, APPROACH3)
+    s.name: s
+    for s in (DUFFING, VANDERPOL, TANK, TANK3, PENDULUM, TOY1D, APPROACH3)
 }
 
 

@@ -86,6 +86,32 @@ def test_tank3_three_state_cascade_tracks(tmp_path):
     assert not (tmp_path / "tank3_eigenfunctions.png").exists()
 
 
+def test_pendulum_reidentifies_gain_through_mass_switch():
+    """First transcendental plant (systems/library.py::PENDULUM): tracking
+    x1 = 1 rad needs steady torque a*sin(1)/k — 3.37 nominal, 5.05 after
+    the 1.5x mass switch halves^(2/3) the input gain. The loop must hold
+    the angle through the switch AND settle at the NEW equilibrium torque,
+    i.e. the windowed estimator re-identified k rather than leaning on
+    feedback."""
+    cfg = C.PRESETS["pendulum"]()
+    cfg.steps = 1200
+    cfg.switch_step = 600
+    cfg.data = C.DataConfig(
+        n_step=40, n_traj=40, u_range=(-6.0, 6.0), x0_range=(-2.0, 2.0)
+    )
+    pipe = build_pipeline(cfg)
+    _, log = run_single(pipe)
+    x = np.asarray(log.x)
+    u = np.asarray(log.u)
+    assert np.isfinite(x).all() and np.isfinite(u).all()
+    assert np.abs(u).max() <= 6.0 + 1e-6
+    assert abs(x[500:600, 0].mean() - 1.0) < 0.05
+    assert abs(x[-100:, 0].mean() - 1.0) < 0.05
+    # equilibrium torques: a*sin(1)/k with k=1 then k=2/3
+    assert abs(u[500:600, 0].mean() - 3.366) < 0.3
+    assert abs(u[-100:, 0].mean() - 5.049) < 0.3
+
+
 def test_all_presets_build():
     """Schema check: every registered preset constructs, serializes
     through the JSON round-trip, and exposes a valid engine config."""

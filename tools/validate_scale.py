@@ -28,16 +28,7 @@ def main():
     from koopmanx import configs as C
     from koopmanx.run import build_pipeline, run_single
 
-    factory = {
-        "duffing": C.duffing_nn_preset,
-        "vanderpol": C.vdp_lifted_preset,
-        "tank": C.tank_preset,
-        "revise2": C.revise2_duffing_preset,
-        "revise2_vdp": C.revise2_vdp_preset,
-        "duffing_rbf": C.duffing_rbf_preset,
-        "duffing_rbf128": C.duffing_rbf128_preset,
-        "toy1d": C.toy1d_preset,
-    }[preset]
+    factory = dict(C.PRESETS, revise2=C.revise2_duffing_preset)[preset]
     cfg = factory()
     cfg.steps = steps
     cfg.dtype = os.environ.get("DTYPE", "float32")
@@ -72,8 +63,8 @@ def main():
     #     (VDP_Revise_2/...m:111: Yr = liftFun([-1;0])) — r in the log is
     #     the LIFTED reference, so compare in state space instead
     #   others: first output channel vs r
-    if preset == "tank":
-        y = x[:, 1]
+    if preset in ("tank", "tank3"):
+        y = x[:, cfg.mpc.cy_index]
         target = r[-1, 0]
     elif cfg.mpc.track_lifted:
         y = x[:, 0]
@@ -96,7 +87,7 @@ def main():
         "final_residual": float(np.asarray(log.residual)[-1]),
     }
     out["dtype"] = cfg.dtype
-    if preset == "tank":
+    if preset in ("tank", "tank3"):
         # warm-up gate inputs: the pre-switch transient overshoot (r3
         # reference value 1.26 with the static 24-chain; the static
         # 12-chain violated it at 1.81) and the post-switch tail
