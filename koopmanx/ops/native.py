@@ -26,15 +26,22 @@ class NativeUnavailable(RuntimeError):
     pass
 
 
+def _sources() -> list:
+    return sorted(
+        os.path.join(_CSRC, f)
+        for f in os.listdir(_CSRC)
+        if f.endswith(".cpp")
+    )
+
+
 def _build() -> None:
-    src = os.path.join(_CSRC, "boxqp.cpp")
     cmd = [
         "g++",
         "-O3",
         "-shared",
         "-fPIC",
         "-std=c++17",
-        src,
+        *_sources(),
         "-o",
         _LIB_PATH,
     ]
@@ -46,10 +53,9 @@ def _load() -> ctypes.CDLL:
     with _LOCK:
         if _LIB is not None:
             return _LIB
-        src = os.path.join(_CSRC, "boxqp.cpp")
-        if not os.path.exists(_LIB_PATH) or (
-            os.path.exists(src)
-            and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+        srcs = _sources()
+        if not os.path.exists(_LIB_PATH) or any(
+            os.path.getmtime(s) > os.path.getmtime(_LIB_PATH) for s in srcs
         ):
             try:
                 _build()
@@ -69,6 +75,18 @@ def _load() -> ctypes.CDLL:
             dp,
             dp,
             ctypes.c_int,
+        ]
+        # plant simulator (csrc/plant_sim.cpp)
+        lib.koopman_plant_dim.restype = ctypes.c_int
+        lib.koopman_plant_dim.argtypes = [ctypes.c_int]
+        lib.koopman_plant_step.restype = ctypes.c_int
+        lib.koopman_plant_step.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, dp, dp, dp, dp,
+        ]
+        lib.koopman_plant_rollout.restype = ctypes.c_int
+        lib.koopman_plant_rollout.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int,
+            dp, dp, dp, dp,
         ]
         _LIB = lib
         return lib
