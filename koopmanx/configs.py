@@ -235,6 +235,15 @@ def tank_preset() -> RunConfig:
         update=UpdateConfig(
             mode="windowed", window=256, ridge=3e-2, c_ab=1e4, c_c=1e4,
             c_pairing="same",
+            # refit cadence 8: the Schulz-chain extraction (the step's
+            # dominant cost) runs every 8th step once past the 300-step
+            # always-refit warm-up — 44.6 -> 20.7 ms/step at batch 8192
+            # (395k solves/s, 2.4x the 50 ms real-time budget) with the
+            # 3000-step f32 TPU validation AT OR BETTER than every-step
+            # quality (sse 2.3e-3 vs 8.3e-3; BENCHMARKS.md round-4 tank
+            # cadence study). Runs under 300 steps are bit-identical to
+            # every-step refit.
+            window_refit_every=8,
         ),
         lift=LiftConfig(
             kind="rbf", nlift=10, rbf_type="thinplate", rbf_centers="random",

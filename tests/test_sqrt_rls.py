@@ -139,6 +139,28 @@ def test_windowed_refit_cadence_and_scheduled_filter_readapt():
     )
 
 
+def test_tank_default_cadence_inert_under_warmup():
+    """The tank preset's production refit cadence (window_refit_every=8,
+    the round-4 20.7 ms/step default) is BIT-IDENTICAL to every-step refit
+    for any run shorter than the 300-step warm-up — the warm-up phase
+    always refits, so short runs (every CPU test, the 120-step parity
+    gate) are untouched by the perf schedule."""
+    def run(refit_every):
+        cfg = C.tank_preset()
+        assert cfg.update.window_refit_every == 8  # production default
+        cfg.update.window_refit_every = refit_every
+        cfg.steps = 250
+        cfg.dtype = "float32"
+        cfg.data = C.DataConfig(
+            n_step=40, n_traj=40, u_range=(-5.0, 5.0), clamp_x0=True
+        )
+        pipe = build_pipeline(cfg)
+        _, log = run_single(pipe)
+        return np.asarray(log.x)
+
+    np.testing.assert_array_equal(run(8), run(1))
+
+
 def test_windowed_unit_semantics():
     """Ring-buffer mechanics + refit equals a direct lstsq on the window."""
     import jax

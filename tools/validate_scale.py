@@ -47,6 +47,8 @@ def main():
         cfg.update.window_filter_late = int(os.environ["W_FILTER_LATE"])
     if os.environ.get("W_FILTER_WARMUP"):
         cfg.update.window_filter_warmup = int(os.environ["W_FILTER_WARMUP"])
+    if os.environ.get("SWITCH"):
+        cfg.switch_step = int(os.environ["SWITCH"])
     pipe = build_pipeline(cfg)
 
     t0 = time.perf_counter()
