@@ -93,20 +93,31 @@ def main():
     model_b = jax.tree_util.tree_map(rep, pipe.model0)
     rls_b = jax.tree_util.tree_map(rep, pipe.rls0)
 
+    # the broadcast params/model/rls pytrees are jit ARGUMENTS, not closure
+    # captures: captured device arrays are embedded in the HLO as literal
+    # constants, which at large nlift blows the remote-compile request past
+    # the tunnel's size limit (HTTP 413 at nlift=128: the (B,129,129)
+    # estimator carry alone is hundreds of MB of constant data)
     runner = jax.jit(
-        lambda x0, t0, t1: run_batch(
-            pipe.closed_loop, params_b, x0, model_b, rls_b, t0, t1
+        lambda p, x0, m, r, t0, t1: run_batch(
+            pipe.closed_loop, p, x0, m, r, t0, t1
         )[1].x
     )
 
     # compile + warmup
-    out = runner(batch_sc.x0, batch_sc.theta0, batch_sc.theta1)
+    out = runner(
+        params_b, batch_sc.x0, model_b, rls_b, batch_sc.theta0,
+        batch_sc.theta1,
+    )
     out.block_until_ready()
 
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = runner(batch_sc.x0, batch_sc.theta0, batch_sc.theta1)
+        out = runner(
+            params_b, batch_sc.x0, model_b, rls_b, batch_sc.theta0,
+            batch_sc.theta1,
+        )
         out.block_until_ready()
         best = min(best, time.perf_counter() - t0)
 
