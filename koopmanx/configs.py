@@ -371,6 +371,31 @@ def tank3_preset() -> RunConfig:
     )
 
 
+def tank_mimo_preset() -> RunConfig:
+    """Two-pump cascaded tanks (systems/library.py::TANK_MIMO) — the first
+    multi-input (nu=2) plant: tracks tank-2's level with both pumps
+    available under a per-channel +-4 input box. The QP decision vector is
+    horizon*nu=40-dim; the estimator identifies a (nlift, 2) B online
+    through the coefficient switch. Recipe mirrors the tank preset."""
+    return RunConfig(
+        system="tank_mimo",
+        steps=3000,
+        switch_step=100,
+        mpc=MPCConfig(
+            horizon=20, q_weight=10.0, r_weight=1e-3, u_min=-4.0, u_max=4.0,
+            cy_index=1,
+        ),
+        update=UpdateConfig(
+            mode="windowed", window=256, ridge=3e-2, c_pairing="same",
+        ),
+        lift=LiftConfig(
+            kind="rbf", nlift=10, rbf_type="thinplate", rbf_centers="random",
+            normalize=True,
+        ),
+        data=DataConfig(u_range=(-4.0, 4.0), clamp_x0=True),
+    )
+
+
 def pendulum_preset() -> RunConfig:
     """Damped torque-driven pendulum (systems/library.py::PENDULUM) — the
     first transcendental nonlinearity in the registry (sin(x1); the
@@ -516,6 +541,7 @@ PRESETS = {
     "vanderpol": vdp_lifted_preset,
     "tank": tank_preset,
     "tank3": tank3_preset,
+    "tank_mimo": tank_mimo_preset,
     "pendulum": pendulum_preset,
     "revise2_duffing": revise2_duffing_preset,
     "revise2_vdp": revise2_vdp_preset,

@@ -493,8 +493,10 @@ def make_control_solver(dictionary: Dictionary, cfg: EngineConfig, ref_fn,
                 "bounds or state_bounds) which use solve_qp's own KKT — "
                 "set qp_kkt_refine=0 for this configuration"
             )
-        lo = jnp.broadcast_to(params.u_min, (horizon * m,))
-        hi = jnp.broadcast_to(params.u_max, (horizon * m,))
+        # per-channel bounds are (m,): TILE over the horizon (broadcast_to
+        # only handles size-1, which silently worked for every m=1 plant)
+        lo = jnp.tile(jnp.broadcast_to(params.u_min, (m,)), horizon)
+        hi = jnp.tile(jnp.broadcast_to(params.u_max, (m,)), horizon)
         qp = condensed_qp(
             pred, z_qp, yr, qbar, rbar, lo, hi, a_ineq, l_ineq, u_ineq
         )

@@ -142,6 +142,49 @@ TANK3 = System(
 )
 
 
+class TankMimoParams(NamedTuple):
+    """Two-pump cascaded tanks — the registry's first MULTI-INPUT plant
+    (every reference system is single-input). The reference's exact
+    discrete map (Tank_System.m:9-10) with a second pump feeding tank 2
+    directly:
+
+    x1+ = x1 - c1*sqrt(x1) + c2*u1
+    x2+ = x2 + c3*sqrt(x1) - c4*sqrt(x2) + c5*u2
+
+    Exercises nu=2 end-to-end: (nlift, 2) B identification, horizon*nu QP
+    with per-channel bound tiling, (steps, 2) input logs.
+    """
+
+    c1: Array
+    c2: Array
+    c3: Array
+    c4: Array
+    c5: Array
+
+
+def _tank_mimo_step(x, u, th: TankMimoParams):
+    s1 = jnp.sqrt(jnp.maximum(x[0], 0.0))
+    s2 = jnp.sqrt(jnp.maximum(x[1], 0.0))
+    return jnp.stack(
+        [
+            x[0] - th.c1 * s1 + th.c2 * u[0],
+            x[1] + th.c3 * s1 - th.c4 * s2 + th.c5 * u[1],
+        ]
+    )
+
+
+TANK_MIMO = System(
+    name="tank_mimo",
+    n=2,
+    m=2,
+    step_map=_tank_mimo_step,
+    discrete=True,
+    theta0=TankMimoParams(c1=0.5, c2=0.4, c3=0.2, c4=0.3, c5=0.25),
+    theta1=TankMimoParams(c1=0.53, c2=0.3, c3=0.1, c4=0.35, c5=0.2),
+    clamp=lambda x: jnp.maximum(x, 0.0),
+)
+
+
 class PendulumParams(NamedTuple):
     """Damped torque-driven pendulum — the registry's first transcendental
     (non-polynomial, non-sqrt) nonlinearity:
@@ -227,7 +270,10 @@ APPROACH3 = System(
 
 REGISTRY = {
     s.name: s
-    for s in (DUFFING, VANDERPOL, TANK, TANK3, PENDULUM, TOY1D, APPROACH3)
+    for s in (
+        DUFFING, VANDERPOL, TANK, TANK3, TANK_MIMO, PENDULUM, TOY1D,
+        APPROACH3,
+    )
 }
 
 

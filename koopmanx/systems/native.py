@@ -32,6 +32,7 @@ _SYS = {
     "pendulum": (4, 2),
     "toy1d": (5, 1),
     "approach3": (6, 2),
+    "tank_mimo": (7, 2),
 }
 _INTEGRATOR = {"rk4": 0, "rk4_matlab": 1}
 

@@ -86,6 +86,29 @@ def test_tank3_three_state_cascade_tracks(tmp_path):
     assert not (tmp_path / "tank3_eigenfunctions.png").exists()
 
 
+def test_tank_mimo_two_input_loop_tracks():
+    """First multi-input plant (systems/library.py::TANK_MIMO, nu=2): the
+    40-dim (horizon*nu) QP with per-channel bound tiling and the online
+    (nlift, 2) B identification must track tank-2's level through the
+    coefficient switch. Pump 2 (direct feed, c5) should carry the load —
+    pins that the controller actually exploits the second channel."""
+    cfg = C.PRESETS["tank_mimo"]()
+    cfg.steps = 500
+    cfg.switch_step = 250
+    cfg.data = C.DataConfig(
+        n_step=40, n_traj=40, u_range=(-4.0, 4.0), clamp_x0=True
+    )
+    pipe = build_pipeline(cfg)
+    _, log = run_single(pipe)
+    x = np.asarray(log.x)
+    u = np.asarray(log.u)
+    assert u.shape[1] == 2
+    assert np.isfinite(x).all() and np.isfinite(u).all()
+    assert np.abs(u).max() <= 4.0 + 1e-6
+    assert abs(x[-50:, 1].mean() - 1.0) < 0.05, x[-5:, 1]
+    assert np.abs(u[-50:, 1]).mean() > np.abs(u[-50:, 0]).mean()
+
+
 def test_pendulum_reidentifies_gain_through_mass_switch():
     """First transcendental plant (systems/library.py::PENDULUM): tracking
     x1 = 1 rad needs steady torque a*sin(1)/k — 3.37 nominal, 5.05 after
