@@ -102,7 +102,11 @@ def input_trace(u, h: float = 0.05, bounds=None, ax=None):
         _, ax = plt.subplots()
     u = np.asarray(u)
     t = h * np.arange(u.shape[0])
-    ax.plot(t, u[:, 0], label="$u$")
+    for j in range(u.shape[1]):
+        label = "$u$" if u.shape[1] == 1 else f"$u_{{{j + 1}}}$"
+        ax.plot(t, u[:, j], label=label)
+    if u.shape[1] > 1:
+        ax.legend()
     if bounds is not None:
         ax.axhline(bounds[0], linestyle=":", color="r")
         ax.axhline(bounds[1], linestyle=":", color="r")
