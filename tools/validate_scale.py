@@ -65,7 +65,7 @@ def main():
     #     (VDP_Revise_2/...m:111: Yr = liftFun([-1;0])) — r in the log is
     #     the LIFTED reference, so compare in state space instead
     #   others: first output channel vs r
-    if preset in ("tank", "tank3"):
+    if cfg.mpc.cy_index is not None:
         y = x[:, cfg.mpc.cy_index]
         target = r[-1, 0]
     elif cfg.mpc.track_lifted:
@@ -89,7 +89,7 @@ def main():
         "final_residual": float(np.asarray(log.residual)[-1]),
     }
     out["dtype"] = cfg.dtype
-    if preset in ("tank", "tank3"):
+    if preset.startswith("tank"):
         # warm-up gate inputs: the pre-switch transient overshoot (r3
         # reference value 1.26 with the static 24-chain; the static
         # 12-chain violated it at 1.81) and the post-switch tail
