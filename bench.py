@@ -82,7 +82,7 @@ def main():
     pipe = build_pipeline(cfg)
 
     # tank levels are non-negative (sqrt dynamics) — sample x0 >= 0 there
-    x0r = (0.0, 2.0) if cfg.system == "tank" else (-2.0, 2.0)
+    x0r = (0.0, 2.0) if cfg.system.startswith("tank") else (-2.0, 2.0)
     batch_sc = sample_scenarios(
         get_system(cfg.system), jax.random.PRNGKey(0), batch=batch,
         x0_range=x0r,
