@@ -95,21 +95,39 @@ def ns_refine4(k, x0):
 
 
 def loop_time(fn, k, x0=None, reps=3):
-    """Per-iteration time of fn inside a scan, net of dispatch."""
+    """Per-iteration time of fn inside a scan, net of dispatch.
 
-    def body(c, _):
-        kk = k * (1.0 + 1e-12 * c)  # defeat LICM
-        out = fn(kk) if x0 is None else fn(kk, x0)
-        return c + out[0, 0, 0] * 1e-30, None
+    The operands are jit ARGUMENTS (not closure captures — captured
+    device arrays embed in the module as literal constants, which at
+    large (B, n, n) blows the remote-compile request size limit)."""
 
-    run = jax.jit(
-        lambda: jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)[0]
-    )
-    out = jax.block_until_ready(run())
+    def body_of(kin, x0in):
+        def body(c, _):
+            kk = kin * (1.0 + 1e-12 * c)  # defeat LICM
+            out = fn(kk) if x0in is None else fn(kk, x0in)
+            return c + out[0, 0, 0] * 1e-30, None
+
+        return body
+
+    if x0 is None:
+        run = jax.jit(
+            lambda kin: jax.lax.scan(
+                body_of(kin, None), jnp.float32(0.0), None, length=ITERS
+            )[0]
+        )
+        args = (k,)
+    else:
+        run = jax.jit(
+            lambda kin, x0in: jax.lax.scan(
+                body_of(kin, x0in), jnp.float32(0.0), None, length=ITERS
+            )[0]
+        )
+        args = (k, x0)
+    out = jax.block_until_ready(run(*args))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(run())
+        jax.block_until_ready(run(*args))
         best = min(best, time.perf_counter() - t0)
     return best / ITERS
 
