@@ -362,6 +362,10 @@ def tank3_preset() -> RunConfig:
         update=UpdateConfig(
             mode="windowed", window=256, ridge=3e-2, c_ab=1e4, c_c=1e4,
             c_pairing="same",
+            # cadence 8 validated at n=3: 44.6 -> 20.3 ms/step at batch
+            # 8192 (403k solves/s) with the 3000-step f32 sse UNCHANGED
+            # (1.4e-4 both ways) — BENCHMARKS.md round-4 cadence study
+            window_refit_every=8,
         ),
         lift=LiftConfig(
             kind="rbf", nlift=12, rbf_type="thinplate", rbf_centers="random",
@@ -387,6 +391,12 @@ def tank_mimo_preset() -> RunConfig:
         ),
         update=UpdateConfig(
             mode="windowed", window=256, ridge=3e-2, c_pairing="same",
+            # window_refit_every STAYS 1 here — measured negative
+            # (2026-08-20): k=8 drains the MIMO loop's bias correction
+            # (3000-step f32 sse 0.269 vs 8.5e-4 every-step; tail settles
+            # at 1.269). The (nlift, 2) B spans more directions than the
+            # single-input plants'; an 8-step-stale model misallocates
+            # the two pumps. BENCHMARKS.md round-4 cadence study.
         ),
         lift=LiftConfig(
             kind="rbf", nlift=10, rbf_type="thinplate", rbf_centers="random",
@@ -414,6 +424,11 @@ def pendulum_preset() -> RunConfig:
         ),
         update=UpdateConfig(
             mode="windowed", window=256, ridge=3e-2, c_pairing="same",
+            # cadence 8 validated: 45.3 -> 21.6 ms/step at batch 8192
+            # (379k solves/s); 2000-step f32 sse 4.7e-3 vs 3.3e-3 every-
+            # step, including the post-warm-up mass switch at step 1000
+            # re-identified AT cadence — BENCHMARKS.md round-4 study
+            window_refit_every=8,
         ),
         lift=LiftConfig(
             kind="rbf", nlift=12, rbf_type="thinplate", rbf_centers="random",
