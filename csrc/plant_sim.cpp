@@ -132,6 +132,23 @@ int koopman_plant_step(int sys, int integrator, double h, const double* theta,
   return 0;
 }
 
+// fleet step: B independent plants advance one period. theta is (B, ntheta)
+// when per_plant_theta != 0, else one shared (ntheta,) row. x (B, n),
+// u (B, m), x_next (B, n).
+int koopman_plant_step_batch(int sys, int integrator, double h, int b,
+                             const double* theta, int per_plant_theta,
+                             const double* x, const double* u,
+                             double* x_next) {
+  if (sys < 0 || sys >= kNumSys) return -1;
+  const Spec& sp = kSpecs[sys];
+  for (int i = 0; i < b; ++i) {
+    const double* th = per_plant_theta ? theta + i * sp.ntheta : theta;
+    step_impl(sys, integrator, h, th, x + i * sp.n, u + i * sp.m,
+              x_next + i * sp.n);
+  }
+  return 0;
+}
+
 // rollout: x0 (n,), u_seq (steps, m), x_out (steps, n) — state AFTER each
 // step.
 int koopman_plant_rollout(int sys, int integrator, double h, int steps,

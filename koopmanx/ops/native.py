@@ -83,6 +83,11 @@ def _load() -> ctypes.CDLL:
         lib.koopman_plant_step.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.c_double, dp, dp, dp, dp,
         ]
+        lib.koopman_plant_step_batch.restype = ctypes.c_int
+        lib.koopman_plant_step_batch.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int,
+            dp, ctypes.c_int, dp, dp, dp,
+        ]
         lib.koopman_plant_rollout.restype = ctypes.c_int
         lib.koopman_plant_rollout.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int,

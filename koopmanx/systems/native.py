@@ -21,7 +21,10 @@ import numpy as np
 from ..ops.native import NativeUnavailable, _as_c, _load
 from .base import System
 
-__all__ = ["NativeUnavailable", "native_step", "native_rollout", "supported"]
+__all__ = [
+    "NativeUnavailable", "native_step", "native_step_batch",
+    "native_rollout", "supported",
+]
 
 # name -> (id, state dim); ids must match csrc/plant_sim.cpp::kSpecs
 _SYS = {
@@ -74,6 +77,51 @@ def native_step(
     )
     if rc != 0:
         raise NativeUnavailable(f"native plant step failed (rc={rc})")
+    return out
+
+
+def native_step_batch(
+    system: System,
+    x: np.ndarray,
+    u: np.ndarray,
+    theta,
+    h: float,
+    integrator: str = "rk4",
+    per_plant_theta: bool = False,
+) -> np.ndarray:
+    """Advance a fleet of B independent plants one period — the native side
+    of the BatchedController HIL loop. ``x (B, n)``, ``u (B, m)``; theta is
+    one shared parameter tuple, or (with ``per_plant_theta``) a tuple whose
+    fields are arrays of shape (B,) — heterogeneous plants per row."""
+    lib = _load()
+    try:
+        sys_id, n = _SYS[system.name]
+    except KeyError:
+        raise NativeUnavailable(f"no native plant for {system.name!r}")
+    xb = np.ascontiguousarray(np.asarray(x, dtype=np.float64))
+    ub = np.ascontiguousarray(np.asarray(u, dtype=np.float64))
+    b = xb.shape[0]
+    if ub.ndim == 1:
+        ub = ub[:, None]
+    if per_plant_theta:
+        # (B, ntheta): one row per plant, field-major within the row
+        th = np.ascontiguousarray(
+            np.stack(
+                [np.asarray(v, dtype=np.float64).reshape(b) for v in theta],
+                axis=1,
+            )
+        )
+    else:
+        th = np.ascontiguousarray(
+            [float(np.asarray(v)) for v in theta], dtype=np.float64
+        )
+    out = np.zeros((b, n), dtype=np.float64)
+    rc = lib.koopman_plant_step_batch(
+        sys_id, _INTEGRATOR[integrator], float(h), b, _as_c(th),
+        1 if per_plant_theta else 0, _as_c(xb), _as_c(ub), _as_c(out),
+    )
+    if rc != 0:
+        raise NativeUnavailable(f"native fleet step failed (rc={rc})")
     return out
 
 

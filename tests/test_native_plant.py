@@ -44,6 +44,35 @@ def test_native_step_matches_jax(name, integrator):
             np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
 
 
+@pytest.mark.parametrize("name", ["duffing", "tank_mimo"])
+def test_native_fleet_step_matches_singles(name):
+    """The fleet entry point (one call advances B plants — the
+    BatchedController HIL side) equals B single steps, including
+    per-plant heterogeneous parameters."""
+    sys = REGISTRY[name]
+    rng = np.random.default_rng(2)
+    b = 7
+    x = rng.uniform(0.1 if sys.clamp else -2.0, 2.0, size=(b, sys.n))
+    u = rng.uniform(-3.0, 3.0, size=(b, sys.m))
+    # heterogeneous: each plant's params scaled by a different factor
+    scales = rng.uniform(0.8, 1.2, size=b)
+    theta_b = type(sys.theta0)(
+        *[np.asarray(v) * scales for v in sys.theta0]
+    )
+    got = native.native_step_batch(
+        sys, x, u, theta_b, H, per_plant_theta=True
+    )
+    for i in range(b):
+        theta_i = type(sys.theta0)(*[float(v[i]) for v in theta_b])
+        ref = native.native_step(sys, x[i], u[i], theta_i, H)
+        np.testing.assert_allclose(got[i], ref, rtol=0, atol=0)
+    # shared-theta path
+    got_shared = native.native_step_batch(sys, x, u, sys.theta0, H)
+    for i in range(b):
+        ref = native.native_step(sys, x[i], u[i], sys.theta0, H)
+        np.testing.assert_allclose(got_shared[i], ref, rtol=0, atol=0)
+
+
 def test_hil_loop_matches_in_graph_loop():
     """End-to-end runtime pin: the hardware-in-the-loop serving loop
     (Controller.step on the device + the NATIVE C++ plant stepping outside

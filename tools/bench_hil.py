@@ -26,12 +26,87 @@ import jax
 import numpy as np
 
 
+def fleet_main(args, cfg, pipe, system, y_idx):
+    """HIL a fleet: one `BatchedController.step` per period against the
+    native BATCHED plant step (`koopman_plant_step_batch`) — B independent
+    plants with perturbed initial levels, one device dispatch per period."""
+    import jax.numpy as jnp
+
+    from koopmanx.engine.controller import BatchedController
+    from koopmanx.run import _dtype, _ref_fn
+    from koopmanx.systems.native import native_step_batch
+
+    b = args.fleet
+    ref_fn = _ref_fn(
+        cfg, pipe.dictionary, pipe.params.q_block.shape[0], _dtype(cfg)
+    )
+    bc = BatchedController(
+        pipe.dictionary, pipe.engine_cfg, pipe.params, ref_fn,
+        pipe.model0, pipe.rls0, batch=b,
+    )
+    rng = np.random.default_rng(0)
+    x0 = np.asarray(pipe.x_init, dtype=np.float64)
+    x = x0[None, :] * rng.uniform(0.5, 1.5, size=(b, 1))
+    if system.clamp is not None:
+        x = np.maximum(x, 0.0)
+
+    for _ in range(2):  # warm through a step+reset cycle (trace provenance)
+        bc.step(jnp.asarray(x))
+        bc.reset()
+
+    lat = np.zeros(args.steps)
+    xs = np.zeros((args.steps, b, system.n))
+    t_wall = time.perf_counter()
+    for k in range(args.steps):
+        t0 = time.perf_counter()
+        u = bc.step(jnp.asarray(x))
+        u = np.asarray(jax.block_until_ready(u), dtype=np.float64)
+        lat[k] = time.perf_counter() - t0
+        theta = system.theta1 if k > cfg.switch_step else system.theta0
+        x = native_step_batch(
+            system, x, u, theta, cfg.data.h, cfg.integrator
+        )
+        xs[k] = x
+    wall = time.perf_counter() - t_wall
+
+    tail = xs[-max(args.steps // 10, 20):, :, y_idx]
+    target = float(cfg.reference_value)
+    print(json.dumps({
+        "metric": f"HIL fleet loop ({args.preset}, {b} plants, native C++ batch step)",
+        "steps": args.steps,
+        "latency_ms": {
+            "p50": round(float(np.percentile(lat, 50)) * 1e3, 3),
+            "p90": round(float(np.percentile(lat, 90)) * 1e3, 3),
+            "p99": round(float(np.percentile(lat, 99)) * 1e3, 3),
+        },
+        "per_plant_us_p50": round(
+            float(np.percentile(lat, 50)) / b * 1e6, 2
+        ),
+        "realtime_budget_ms": cfg.data.h * 1e3,
+        "loop_rate_hz": round(args.steps / wall, 1),
+        "tracking": {
+            "finite": bool(np.isfinite(xs).all()),
+            "worst_plant_sse": round(
+                float(np.abs(tail.mean(axis=0) - target).max()), 5
+            ),
+            "median_plant_sse": round(
+                float(np.median(np.abs(tail.mean(axis=0) - target))), 5
+            ),
+            "target": target,
+        },
+        "device": str(jax.devices()[0]),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="pendulum")
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--dtype", default=None)
+    ap.add_argument("--fleet", type=int, default=0,
+                    help="HIL a fleet of B plants via BatchedController + "
+                         "the native batched plant step")
     args = ap.parse_args()
 
     if args.cpu:
@@ -51,10 +126,12 @@ def main():
             jax.config.update("jax_enable_x64", True)
     pipe = build_pipeline(cfg)
     system = get_system(cfg.system)
+    y_idx = cfg.mpc.cy_index if cfg.system.startswith("tank") else 0
+    if args.fleet:
+        return fleet_main(args, cfg, pipe, system, y_idx)
     ctrl = Controller.from_pipeline(pipe)
 
     x = np.asarray(pipe.x_init, dtype=np.float64)
-    y_idx = cfg.mpc.cy_index if cfg.system.startswith("tank") else 0
     # warm through a full step+reset cycle so the measured loop's first
     # call has identical trace/state provenance to the rest (a single
     # warm-up step leaves the first post-reset call paying a retrace)
