@@ -28,11 +28,15 @@ class DataConfig:
 
 @dataclasses.dataclass
 class LiftConfig:
-    kind: str = "mlp"  # mlp | rbf | hermite | monomial | identity
+    kind: str = "mlp"  # mlp | rbf | fourier | hermite | monomial | identity
     nlift: int = 8
     hidden: int = 100
     rbf_type: str = "thinplate"
     rbf_centers: str = "kmeans"  # kmeans | random
+    # 'fourier' (random Fourier features): Gaussian-kernel bandwidth in
+    # per-dim data-std units (frequencies are scaled by the training
+    # data's std, the kmeans-centers analog)
+    rff_bandwidth: float = 1.0
     state_augmented: bool = False
     zero_offset: bool = False
     normalize: bool = False  # standardize lifted features (f32 robustness)
@@ -337,6 +341,21 @@ def duffing_rbf_preset() -> RunConfig:
     )
 
 
+def duffing_rff_preset() -> RunConfig:
+    """Random-Fourier-feature lift (lifts/fourier.py) on the duffing
+    scenario — a shift-invariant-kernel dictionary family beyond the
+    reference's lift set. One (n -> nlift) matmul + cos per encode
+    (MXU-shaped, unlike the RBF distance kernels); storage-method online
+    update as in duffing_RBF.py. Bandwidth 2.0 data-stds measured best
+    of {1.0, 1.5, 2.0} (tail offset 4e-3 at 1500 steps, CPU f32)."""
+    cfg = duffing_rbf_preset()
+    cfg.lift = LiftConfig(
+        kind="fourier", nlift=32, rff_bandwidth=2.0,
+        state_augmented=True, normalize=True,
+    )
+    return cfg
+
+
 def tank3_preset() -> RunConfig:
     """Three-tank cascade (systems/library.py::TANK3) — the first n=3
     plant: Δu formulation tracking the LAST tank's level (Cy selects x3),
@@ -552,6 +571,7 @@ PRESETS = {
     "vanderpol_selftrained": vanderpol_selftrained_preset,
     "duffing_rbf": duffing_rbf_preset,
     "duffing_rbf128": duffing_rbf128_preset,
+    "duffing_rff": duffing_rff_preset,
     "vanderpol_rbf": vanderpol_rbf_preset,
     "vanderpol": vdp_lifted_preset,
     "tank": tank_preset,

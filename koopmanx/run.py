@@ -89,6 +89,17 @@ def build_dictionary(
                 key, (lc.nlift, system.n), dtype=dtype
             )
         d = rbf_dictionary(centers, lc.rbf_type)
+    elif lc.kind == "fourier":
+        from .lifts.fourier import fourier_dictionary, rff_init
+
+        feat_scale = jnp.maximum(
+            data.x.astype(dtype).std(axis=0), jnp.asarray(1e-3, dtype)
+        )
+        w, b = rff_init(
+            key, system.n, lc.nlift, bandwidth=lc.rff_bandwidth,
+            feature_scale=feat_scale, dtype=dtype,
+        )
+        d = fourier_dictionary(w, b)
     elif lc.kind == "hermite":
         d = hermite_dictionary()
     elif lc.kind == "monomial":

@@ -212,3 +212,25 @@ def test_dictionary_is_pytree():
     f = jax.jit(lambda dd, x: dd(x))
     out = f(d, jnp.ones(2))
     assert out.shape == (3,)
+
+
+def test_rff_dictionary_matches_formula():
+    """psi(x) = sqrt(2/D) cos(W x + b) (lifts/fourier.py), batched, with
+    frequencies scaled per state dim."""
+    from koopmanx.lifts.fourier import fourier_dictionary, rff_init
+
+    key = jax.random.PRNGKey(3)
+    w, b = rff_init(
+        key, n=2, nlift=16, bandwidth=2.0,
+        feature_scale=jnp.array([0.5, 2.0]), dtype=jnp.float64,
+    )
+    d = fourier_dictionary(w, b)
+    x = jax.random.normal(jax.random.PRNGKey(4), (7, 2), jnp.float64)
+    got = jax.vmap(d)(x)
+    ref = np.sqrt(2.0 / 16) * np.cos(
+        np.asarray(x) @ np.asarray(w).T + np.asarray(b)
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=0, atol=1e-12)
+    # frequency scaling: dim-1 frequencies are 4x smaller than dim-0's
+    # relative to the unscaled draw (scale 0.5 vs 2.0)
+    assert np.abs(np.asarray(w)[:, 1]).mean() < np.abs(np.asarray(w)[:, 0]).mean()

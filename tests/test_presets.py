@@ -86,6 +86,23 @@ def test_tank3_three_state_cascade_tracks(tmp_path):
     assert not (tmp_path / "tank3_eigenfunctions.png").exists()
 
 
+def test_duffing_rff_lift_tracks():
+    """Random-Fourier-feature dictionary (lifts/fourier.py) closes the
+    duffing loop: a lift FAMILY beyond the reference's set, through the
+    same storage-update recipe as duffing_RBF.py."""
+    cfg = C.PRESETS["duffing_rff"]()
+    cfg.steps = 1500
+    cfg.data = C.DataConfig(n_step=50, n_traj=50)
+    pipe = build_pipeline(cfg)
+    assert pipe.dictionary.nlift == 32 + 2  # RFF + state augmentation
+    _, log = run_single(pipe)
+    x = np.asarray(log.x)
+    u = np.asarray(log.u)
+    assert np.isfinite(x).all() and np.isfinite(u).all()
+    assert np.abs(u).max() <= 2.0 + 1e-6
+    assert abs(x[-150:, 0].mean() - 1.0) < 0.05
+
+
 def test_tank_mimo_two_input_loop_tracks():
     """First multi-input plant (systems/library.py::TANK_MIMO, nu=2): the
     40-dim (horizon*nu) QP with per-channel bound tiling and the online
