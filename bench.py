@@ -64,6 +64,8 @@ def main():
     if prec:
         cfg.matmul_precision = prec
     # windowed-estimator schedule knobs (tank path)
+    if os.environ.get("BENCH_W_FILTER"):
+        cfg.update.window_filter = int(os.environ["BENCH_W_FILTER"])
     if os.environ.get("BENCH_W_REFIT_EVERY"):
         cfg.update.window_refit_every = int(os.environ["BENCH_W_REFIT_EVERY"])
     if os.environ.get("BENCH_W_FILTER_LATE"):

@@ -41,6 +41,8 @@ def main():
         cfg.matmul_precision = prec
     if os.environ.get("QP_ITERS"):
         cfg.mpc.qp_iters = int(os.environ["QP_ITERS"])
+    if os.environ.get("W_FILTER"):
+        cfg.update.window_filter = int(os.environ["W_FILTER"])
     if os.environ.get("W_REFIT_EVERY"):
         cfg.update.window_refit_every = int(os.environ["W_REFIT_EVERY"])
     if os.environ.get("W_FILTER_LATE"):
