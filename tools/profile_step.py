@@ -47,7 +47,7 @@ def main():
         cfg.data = dataclasses.replace(cfg.data, n_step=50, n_traj=50)
     pipe = build_pipeline(cfg)
 
-    x0r = (0.0, 2.0) if cfg.system == "tank" else (-2.0, 2.0)
+    x0r = (0.0, 2.0) if cfg.system.startswith("tank") else (-2.0, 2.0)
     batch_sc = sample_scenarios(
         get_system(cfg.system), jax.random.PRNGKey(0), batch=batch,
         param_scale=0.15, dtype=jnp.float32, x0_range=x0r,
@@ -57,18 +57,22 @@ def main():
     model_b = jax.tree_util.tree_map(rep, pipe.model0)
     rls_b = jax.tree_util.tree_map(rep, pipe.rls0)
 
+    # carry pytrees as jit ARGUMENTS (closure-captured device arrays embed
+    # as HLO constants and blow the remote-compile limit at large nlift)
     runner = jax.jit(
-        lambda x0, t0, t1: run_batch(
-            pipe.closed_loop, params_b, x0, model_b, rls_b, t0, t1
+        lambda p, x0, m, r, t0, t1: run_batch(
+            pipe.closed_loop, p, x0, m, r, t0, t1
         )[1].x
     )
-    out = runner(batch_sc.x0, batch_sc.theta0, batch_sc.theta1)
+    rargs = (params_b, batch_sc.x0, model_b, rls_b, batch_sc.theta0,
+             batch_sc.theta1)
+    out = runner(*rargs)
     out.block_until_ready()
 
     trace_dir = "/tmp/kx_trace"
     os.system(f"rm -rf {trace_dir}")
     with jax.profiler.trace(trace_dir):
-        out = runner(batch_sc.x0, batch_sc.theta0, batch_sc.theta1)
+        out = runner(*rargs)
         out.block_until_ready()
 
     files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
