@@ -12,5 +12,6 @@ from .mlp import (
     mlp_init,
     reference_autoencoder_sizes,
 )
+from .fourier import fourier_dictionary, rff_init
 from .poly import hermite_dictionary, monomial_dictionary
 from .rbf import kmeans, rbf_dictionary
