@@ -59,6 +59,11 @@ def main():
     cfg.mpc.qp_backend = os.environ.get("BENCH_QP_BACKEND", "xla")
     cfg.mpc.qp_kkt_bf16 = bool(int(os.environ.get("BENCH_KKT_BF16", "0")))
     cfg.mpc.qp_kkt_refine = int(os.environ.get("BENCH_KKT_REFINE", "0"))
+    cfg.mpc.qp_kkt_block = int(
+        os.environ.get("BENCH_KKT_BLOCK", str(cfg.mpc.qp_kkt_block))
+    )
+    if os.environ.get("BENCH_APPLIED_BOUNDS"):
+        cfg.mpc.applied_bounds = os.environ["BENCH_APPLIED_BOUNDS"]
     cfg.mpc.qp_kkt_reanchor = int(os.environ.get("BENCH_KKT_REANCHOR", "16"))
     prec = os.environ.get("BENCH_PRECISION")
     if prec:

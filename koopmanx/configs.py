@@ -60,6 +60,11 @@ class MPCConfig:
     du_max: float = 0.5
     applied_min: Optional[float] = None  # Δu mode: bounds on accumulated U0
     applied_max: Optional[float] = None
+    # 'box' folds the applied-input window into the Δu_0 bounds (it only
+    # constrains the first decision block) — keeps the Δu family on the
+    # box-only ADMM fast path; 'rows' = explicit inequality rows (round-4
+    # formulation). See EngineConfig.applied_bounds.
+    applied_bounds: str = "box"
     track_lifted: bool = False
     cy_index: Optional[int] = None  # track a single output channel (Tank: 1)
     terminal_synthesis: bool = False
@@ -69,6 +74,10 @@ class MPCConfig:
     qp_iters: int = 60
     qp_rho: float = 0.1
     qp_unroll: int = 10  # ADMM-iteration scan unroll (perf, semantics-neutral)
+    # KKT elimination block size (ops/linalg.spd_inverse): r>1 streams the
+    # augmented matrix ceil(n/r) times instead of n — the multi-input
+    # (Nc*nu, Nc*nu) KKT lever. See EngineConfig.qp_kkt_block.
+    qp_kkt_block: int = 1
     qp_kkt_bf16: bool = False  # stream the KKT inverse at bf16 (see ADMMConfig)
     # carried Newton-Schulz KKT inverse (box path): >0 = NS iterations per
     # step refining last step's inverse instead of re-eliminating (the
@@ -345,9 +354,12 @@ def duffing_rff_preset() -> RunConfig:
     """Random-Fourier-feature lift (lifts/fourier.py) on the duffing
     scenario — a shift-invariant-kernel dictionary family beyond the
     reference's lift set. One (n -> nlift) matmul + cos per encode
-    (MXU-shaped, unlike the RBF distance kernels); storage-method online
-    update as in duffing_RBF.py. Bandwidth 2.0 data-stds measured best
-    of {1.0, 1.5, 2.0} (tail offset 4e-3 at 1500 steps, CPU f32)."""
+    (MXU-shaped, unlike the RBF distance kernels). The online update is a
+    256-step sliding window — duffing_RBF.py's storage method was tried
+    first and replaced after it measurably drifted the RFF model at
+    reference length (see the UpdateConfig comment below). Bandwidth 2.0
+    data-stds measured best of {1.0, 1.5, 2.0} (tail offset 4e-3 at 1500
+    steps, CPU f32)."""
     cfg = duffing_rbf_preset()
     cfg.lift = LiftConfig(
         kind="fourier", nlift=32, rff_bandwidth=2.0,

@@ -43,6 +43,12 @@ class ADMMConfig(NamedTuple):
     # on (nx,) vectors, so per-iteration while-loop carry copies dominate;
     # unrolling amortizes them (semantics-neutral, compile-time cost only)
     unroll: int = 10
+    # Block size for the KKT elimination (ops/linalg.spd_inverse block
+    # Gauss-Jordan): r > 1 cuts the elimination's dominant HBM stream
+    # ~r-fold (ceil(n/r) passes over the augmented matrix instead of n).
+    # The lever for multi-input plants whose (Nc*nu, Nc*nu) KKT dwarfs the
+    # nu=1 case; 1 = the round-1 scalar kernel (bit-identical semantics).
+    kkt_block: int = 1
     # Store the per-step KKT inverse in bfloat16 (accumulation stays f32).
     # The iteration re-reads that matrix from HBM every one of its `iters`
     # iterations — the measured HBM-roofline term of the whole step
@@ -84,7 +90,7 @@ def solve_qp(
     rho = _effective_rho(qp.P, cfg)
     sigma, alpha = cfg.sigma, cfg.alpha
     kkt = qp.P + sigma * jnp.eye(nx, dtype=dtype) + rho * qp.A.T @ qp.A
-    kkt_inv = spd_inverse(kkt)
+    kkt_inv = spd_inverse(kkt, block=cfg.kkt_block)
     if cfg.kkt_bf16:
         kkt_inv = kkt_inv.astype(jnp.bfloat16)
 
@@ -164,7 +170,10 @@ def solve_box_qp(
     rho = _effective_rho(p, cfg)
     sigma, alpha = cfg.sigma, cfg.alpha
     if kkt_inv is None:
-        kkt_inv = spd_inverse(p + (sigma + rho) * jnp.eye(nx, dtype=dtype))
+        kkt_inv = spd_inverse(
+            p + (sigma + rho) * jnp.eye(nx, dtype=dtype),
+            block=cfg.kkt_block,
+        )
     if cfg.kkt_bf16:
         kkt_inv = kkt_inv.astype(jnp.bfloat16)
 

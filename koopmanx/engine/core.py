@@ -101,6 +101,14 @@ class EngineConfig:
     # constraint handling at all).
     controller: str = "mpc"
     delta_u: bool = False  # Tank's incremental-input formulation
+    # How the Δu applied-input window (Tank_System.m:147-150) enters the
+    # QP: 'box' (default) folds it into the first decision block's bounds —
+    # it constrains Δu_0 alone, so it IS a box — keeping the whole Δu
+    # family on the box-only ADMM fast path; 'rows' appends the reference-
+    # shaped explicit inequality rows (round-4 semantics; forces the
+    # general-inequality ADMM with its per-iteration constraint matvecs).
+    # Both describe the same feasible set and exact-QP minimizer.
+    applied_bounds: str = "box"
     track_lifted: bool = False  # VDP's lifted-space tracking
     update: str = "rls"  # 'rls' | 'storage' | 'off'
     c_pairing: str = "next"  # 'next' (duffing.py:943) | 'same' (Tank_System.m:259)
@@ -130,6 +138,10 @@ class EngineConfig:
     qp_kkt_bf16: bool = False
     # lax.scan unroll for the ADMM iteration body (ADMMConfig.unroll)
     qp_unroll: int = 10
+    # Block size for the KKT elimination (ADMMConfig.kkt_block): r > 1
+    # streams the augmented matrix ceil(n/r) times instead of n — the
+    # measured lever for the multi-input (Nc*nu, Nc*nu) KKT. 1 = scalar.
+    qp_kkt_block: int = 1
     # Carried Newton-Schulz KKT inverse (box path only): >0 replaces the
     # per-step exact Gauss-Jordan inversion of the ADMM KKT matrix — the
     # step's dominant HBM stream (BENCHMARKS.md round-2 roofline) — with
@@ -232,6 +244,7 @@ class EngineConfig:
             alpha=self.qp_alpha,
             kkt_bf16=self.qp_kkt_bf16,
             unroll=self.qp_unroll,
+            kkt_block=self.qp_kkt_block,
         )
 
 
@@ -461,13 +474,28 @@ def make_control_solver(dictionary: Dictionary, cfg: EngineConfig, ref_fn,
         a_ineq = None
         l_ineq = None
         u_ineq = None
+        tighten_first = False
         if cfg.delta_u and params.applied_min is not None:
-            # input-magnitude constraint on U0 + Δu_0 (Tank_System.m:147-150)
-            a_first = jnp.zeros((m, horizon * m), dtype=z.dtype)
-            a_first = a_first.at[:, :m].set(jnp.eye(m, dtype=z.dtype))
-            a_ineq = a_first
-            l_ineq = params.applied_min - u_prev
-            u_ineq = params.applied_max - u_prev
+            # input-magnitude constraint on U0 + Δu_0 (Tank_System.m:147-150).
+            # The constraint selects ONLY the first decision block, so it is
+            # a box intersection, not a general inequality: fold it into the
+            # Δu_0 bounds (cfg.applied_bounds='box', the default) and the
+            # whole Δu family rides the box-only ADMM fast path — no
+            # per-iteration A matvecs, no (nc, N*m) constraint stream, and
+            # the carried-KKT-inverse mode becomes available. Same feasible
+            # set and minimizer as the reference's explicit rows
+            # (Tank_System.m:147-150); fixed-iteration ADMM iterates differ
+            # (different constraint splitting), gated by the exact-QP
+            # parity tests either way. 'rows' keeps the round-4 explicit
+            # general-inequality formulation.
+            if cfg.applied_bounds == "box":
+                tighten_first = True
+            else:
+                a_first = jnp.zeros((m, horizon * m), dtype=z.dtype)
+                a_first = a_first.at[:, :m].set(jnp.eye(m, dtype=z.dtype))
+                a_ineq = a_first
+                l_ineq = params.applied_min - u_prev
+                u_ineq = params.applied_max - u_prev
         if cfg.state_bounds and params.x_min is not None:
             # Revise_2/Koopman_update.m:205-211 state box via F1/F2
             f1z = pred.f1 @ z_qp
@@ -497,6 +525,22 @@ def make_control_solver(dictionary: Dictionary, cfg: EngineConfig, ref_fn,
         # only handles size-1, which silently worked for every m=1 plant)
         lo = jnp.tile(jnp.broadcast_to(params.u_min, (m,)), horizon)
         hi = jnp.tile(jnp.broadcast_to(params.u_max, (m,)), horizon)
+        if tighten_first:
+            # intersect the Δu_0 box with the applied-input window. The
+            # accumulator projection keeps u_prev inside [applied_min,
+            # applied_max], so with a 0-straddling Δu box the intersection
+            # is non-empty; the minimum guards pathological params anyway.
+            lo0 = jnp.maximum(
+                jnp.broadcast_to(params.u_min, (m,)),
+                params.applied_min - u_prev,
+            )
+            hi0 = jnp.minimum(
+                jnp.broadcast_to(params.u_max, (m,)),
+                params.applied_max - u_prev,
+            )
+            lo0 = jnp.minimum(lo0, hi0)
+            lo = lo.at[:m].set(lo0)
+            hi = hi.at[:m].set(hi0)
         qp = condensed_qp(
             pred, z_qp, yr, qbar, rbar, lo, hi, a_ineq, l_ineq, u_ineq
         )
@@ -529,7 +573,7 @@ def make_control_solver(dictionary: Dictionary, cfg: EngineConfig, ref_fn,
                 kkt = box_kkt(qp.P, qp_cfg)
                 kkt_inv = jax.lax.cond(
                     step % cfg.qp_kkt_reanchor == 0,
-                    lambda ops: spd_inverse(ops[0]),
+                    lambda ops: spd_inverse(ops[0], block=cfg.qp_kkt_block),
                     lambda ops: ns_tracking_inverse(
                         ops[0], ops[1], cfg.qp_kkt_refine
                     ),
@@ -731,7 +775,8 @@ def dual_dim(cfg: EngineConfig, params: MPCParams, m: int) -> int:
     that mirrors control_solve's row construction (box + Δu input-magnitude
     rows + Revise_2 state box); used by every harness's carry init."""
     nc = cfg.horizon * m
-    if cfg.delta_u and params.applied_min is not None:
+    if (cfg.delta_u and params.applied_min is not None
+            and cfg.applied_bounds != "box"):
         nc += m
     if cfg.state_bounds and params.x_min is not None:
         nc += params.x_min.shape[0]

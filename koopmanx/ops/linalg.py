@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax import Array
 
 
-def spd_inverse(k: Array, eps: float = 0.0) -> Array:
+def spd_inverse(k: Array, eps: float = 0.0, block: int = 1) -> Array:
     """Inverse of a symmetric positive-definite matrix (batched or not).
 
     Pivot-free Gauss-Jordan, unrolled over the (static) matrix dimension;
@@ -33,6 +33,19 @@ def spd_inverse(k: Array, eps: float = 0.0) -> Array:
     control path already sanitize non-finite solves (engine guards).
 
     ``eps`` optionally adds a diagonal ridge before inversion.
+
+    ``block`` > 1 eliminates ``block`` columns per step (block Gauss-Jordan
+    with an explicitly-inverted (r, r) pivot block — pivot blocks of an SPD
+    matrix's successive Schur complements are SPD, so pivot-free block
+    elimination is stable). The elimination's cost on TPU is the
+    ceil(n/r) passes streaming the (..., n, 2n) augmented matrix through
+    HBM (BENCHMARKS.md round-2 roofline: the GJ stream is at the ~819 GB/s
+    bound), so block=r cuts that dominant stream ~r-fold — the lever for
+    the (Nc*nu, Nc*nu) KKT of multi-input plants (nu=2 doubles n, 8x-ing
+    the scalar elimination). Every update stays a sum of r rank-1 VPU
+    updates (no tiny-contraction matmuls — the measured Mosaic wall,
+    BENCHMARKS.md "stacked-Schulz negative"). block=1 is the round-1
+    champion kernel, bit-identical to before.
     """
     n = k.shape[-1]
     dtype = k.dtype
@@ -40,15 +53,44 @@ def spd_inverse(k: Array, eps: float = 0.0) -> Array:
         k = k + eps * jnp.eye(n, dtype=dtype)
     eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype), k.shape)
     aug = jnp.concatenate([k, eye], axis=-1)  # (..., n, 2n)
-    for j in range(n):
-        d = aug[..., j, j : j + 1]  # (..., 1)
-        piv = aug[..., j, :] / d  # (..., 2n)
-        # One rank-1 update does both the elimination AND the pivot-row
-        # normalization: with factor_j = d - 1 (instead of 0), row j becomes
-        # d*piv - (d-1)*piv = piv. Avoids a (..., n, 2n) dynamic-update-slice
-        # per column (20 of them cost ~0.2 ms/step at batch 2048).
-        factor = aug[..., :, j].at[..., j].set(d[..., 0] - 1.0)  # (..., n)
-        aug = aug - factor[..., :, None] * piv[..., None, :]
+    if block <= 1:
+        for j in range(n):
+            d = aug[..., j, j : j + 1]  # (..., 1)
+            piv = aug[..., j, :] / d  # (..., 2n)
+            # One rank-1 update does both the elimination AND the pivot-row
+            # normalization: with factor_j = d - 1 (instead of 0), row j
+            # becomes d*piv - (d-1)*piv = piv. Avoids a (..., n, 2n)
+            # dynamic-update-slice per column (20 of them cost ~0.2 ms/step
+            # at batch 2048).
+            factor = aug[..., :, j].at[..., j].set(d[..., 0] - 1.0)
+            aug = aug - factor[..., :, None] * piv[..., None, :]
+    else:
+        for j in range(0, n, block):
+            r = min(block, n - j)
+            # normalize the r pivot rows by Gauss-Jordan WITHIN the block
+            # (r tiny passes over (r, 2n) rows — scalar-division accuracy;
+            # an explicitly inverted pivot block measured 200x worse f32
+            # residuals at cond 1e3: 5.8e-2 vs the scalar path's 2.7e-4)
+            piv = [aug[..., j + t, :] for t in range(r)]
+            for t in range(r):
+                piv[t] = piv[t] / piv[t][..., j + t : j + t + 1]
+                for s in range(r):
+                    if s != t:
+                        f = piv[s][..., j + t : j + t + 1]
+                        piv[s] = piv[s] - f * piv[t]
+            # ONE rank-r pass over the augmented matrix eliminates the r
+            # columns from every row (block rows produce cancellation
+            # garbage and are overwritten with their normalized forms — a
+            # ceil(n/r)-count of row-block set()s, amortized r-fold vs the
+            # scalar path's per-column trick)
+            upd = None
+            for t in range(r):
+                factor_t = aug[..., :, j + t]  # (..., n)
+                term = factor_t[..., :, None] * piv[t][..., None, :]
+                upd = term if upd is None else upd + term
+            aug = (aug - upd).at[..., j : j + r, :].set(
+                jnp.stack(piv, axis=-2)
+            )
     inv = aug[..., :, n:]
     # symmetrize: elimination rounding breaks exact symmetry; the callers
     # (ADMM KKT, Gram inverses) rely on symmetric inverses

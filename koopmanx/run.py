@@ -215,6 +215,7 @@ def engine_config(cfg: C.RunConfig) -> EngineConfig:
         h=cfg.data.h,
         integrator=cfg.integrator,
         delta_u=cfg.mpc.delta_u,
+        applied_bounds=cfg.mpc.applied_bounds,
         track_lifted=cfg.mpc.track_lifted,
         update=uc.mode,
         c_pairing=uc.c_pairing,
@@ -233,6 +234,7 @@ def engine_config(cfg: C.RunConfig) -> EngineConfig:
         qp_iters=cfg.mpc.qp_iters,
         qp_rho=cfg.mpc.qp_rho,
         qp_unroll=cfg.mpc.qp_unroll,
+        qp_kkt_block=cfg.mpc.qp_kkt_block,
         qp_kkt_bf16=cfg.mpc.qp_kkt_bf16,
         qp_kkt_refine=cfg.mpc.qp_kkt_refine,
         qp_kkt_reanchor=cfg.mpc.qp_kkt_reanchor,

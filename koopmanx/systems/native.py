@@ -134,12 +134,15 @@ def native_rollout(
     integrator: str = "rk4",
 ) -> np.ndarray:
     """Native rollout under an input sequence ``u_seq (steps,)`` or
-    ``(steps, 1)``; returns the state AFTER each step, shape (steps, n)."""
+    ``(steps, m)``; returns the state AFTER each step, shape (steps, n)."""
     lib = _load()
     sys_id, n, th, integ = _prep(system, theta, integrator)
     x0b = np.ascontiguousarray(np.asarray(x0, dtype=np.float64).ravel())
+    # the C side indexes u_seq + t*m with the SYSTEM's input width — derive
+    # steps from the (steps, m) view, not the flat length (a flat (steps*m,)
+    # count would double `steps` for m>1 and read past the buffer)
     useq = np.ascontiguousarray(
-        np.asarray(u_seq, dtype=np.float64).reshape(-1)
+        np.asarray(u_seq, dtype=np.float64).reshape(-1, system.m)
     )
     steps = useq.shape[0]
     out = np.zeros((steps, n), dtype=np.float64)

@@ -86,10 +86,13 @@ def fleet_main(args, cfg, pipe, system, y_idx):
         "loop_rate_hz": round(args.steps / wall, 1),
         "tracking": {
             "finite": bool(np.isfinite(xs).all()),
-            "worst_plant_sse": round(
+            # absolute tail-mean tracking error, the same quantity
+            # validate_scale.py calls steady_state_error (NOT a sum of
+            # squared errors — the old *_sse names mislabeled it)
+            "worst_plant_steady_state_error": round(
                 float(np.abs(tail.mean(axis=0) - target).max()), 5
             ),
-            "median_plant_sse": round(
+            "median_plant_steady_state_error": round(
                 float(np.median(np.abs(tail.mean(axis=0) - target))), 5
             ),
             "target": target,
@@ -126,7 +129,7 @@ def main():
             jax.config.update("jax_enable_x64", True)
     pipe = build_pipeline(cfg)
     system = get_system(cfg.system)
-    y_idx = cfg.mpc.cy_index if cfg.system.startswith("tank") else 0
+    y_idx = cfg.mpc.cy_index if cfg.mpc.cy_index is not None else 0
     if args.fleet:
         return fleet_main(args, cfg, pipe, system, y_idx)
     ctrl = Controller.from_pipeline(pipe)

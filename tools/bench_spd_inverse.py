@@ -94,6 +94,22 @@ def ns_refine4(k, x0):
     return x
 
 
+def residual(k, out, sample=256):
+    """max |K X - I| in f64 on the HOST. The device einsum used before ran
+    at TPU-default (single-pass bf16) matmul precision, whose ~0.2 error
+    floor at n=129 saturated the column for every method (BENCHMARKS.md
+    n=129 caveat) — method error was unmeasurable. A subsample bounds the
+    host cost at large B."""
+    import numpy as np
+
+    b = k.shape[0]
+    take = min(b, sample)
+    kh = np.asarray(k[:take], dtype=np.float64)
+    xh = np.asarray(out[:take], dtype=np.float64)
+    eye = np.eye(k.shape[-1], dtype=np.float64)
+    return float(np.max(np.abs(np.einsum("bij,bjk->bik", kh, xh) - eye)))
+
+
 def loop_time(fn, k, x0=None, reps=3):
     """Per-iteration time of fn inside a scan, net of dispatch.
 
@@ -103,9 +119,20 @@ def loop_time(fn, k, x0=None, reps=3):
 
     def body_of(kin, x0in):
         def body(c, _):
-            kk = kin * (1.0 + 1e-12 * c)  # defeat LICM
+            # defeat LICM with an ADDITIVE diagonal perturbation: the
+            # earlier scalar multiply kin * (1 + eps*c) is algebraically
+            # invertible (inv(sK) = inv(K)/s), which let XLA hoist the
+            # whole inverse out of the loop — the real mechanism behind
+            # the 0.001 ms lu_inv row (BENCHMARKS.md n=129 caveat)
+            n_ = kin.shape[-1]
+            kk = kin + (1e-9 * c) * jnp.eye(n_, dtype=kin.dtype)
             out = fn(kk) if x0in is None else fn(kk, x0in)
-            return c + out[0, 0, 0] * 1e-30, None
+            # consume EVERY element of the result into the timing
+            # dependency chain: a single-element read let XLA dead-code-
+            # eliminate candidates whose output it could slice through
+            # (the lu_inv row read 0.001 ms under scan — the custom call
+            # was never executed; BENCHMARKS.md n=129 caveat)
+            return c + jnp.sum(out) * 1e-30, None
 
         return body
 
@@ -150,23 +177,20 @@ def main():
         ("gj_unrolled", inv_gj_unrolled, None),
         ("schur_block", inv_schur, None),
     ]
-    x0 = None
     for name, fn, _ in candidates:
         t = loop_time(fn, k)
         out = jax.jit(fn)(k)
-        err = jnp.max(
-            jnp.abs(
-                jnp.einsum("bij,bjk->bik", k, out)
-                - jnp.eye(n, dtype=k.dtype)
-            )
-        )
-        print(f"{name:24s} {t*1e3:9.3f} ms/iter (net {max(t-base,0)*1e3:7.3f})  max|KX-I|={float(err):.2e}")
+        err = residual(k, out)
+        print(f"{name:24s} {t*1e3:9.3f} ms/iter (net {max(t-base,0)*1e3:7.3f})  max|KX-I|={err:.2e}")
 
-    x0 = jax.block_until_ready(jax.jit(inv_chol_lapack)(k))
+    # warm seed from the GJ inverse (the chol_lapack route produces a bad
+    # inverse on this backend — measured residual 0.45 at n=20 f32 — and
+    # poisons the NS refinement's seed)
+    x0 = jax.block_until_ready(jax.jit(inv_gj_unrolled)(k))
     t = loop_time(ns_refine4, k, x0)
     out = jax.jit(ns_refine4)(k, x0)
-    err = jnp.max(jnp.abs(jnp.einsum("bij,bjk->bik", k, out) - jnp.eye(n, dtype=k.dtype)))
-    print(f"{'ns_refine4 (warm)':24s} {t*1e3:9.3f} ms/iter (net {max(t-base,0)*1e3:7.3f})  max|KX-I|={float(err):.2e}")
+    err = residual(k, out)
+    print(f"{'ns_refine4 (warm)':24s} {t*1e3:9.3f} ms/iter (net {max(t-base,0)*1e3:7.3f})  max|KX-I|={err:.2e}")
 
 
 if __name__ == "__main__":
