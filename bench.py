@@ -79,6 +79,16 @@ def main():
         cfg.update.window_filter_warmup = int(
             os.environ["BENCH_W_FILTER_WARMUP"]
         )
+    if os.environ.get("BENCH_W_CARRY"):
+        cfg.update.window_carry = os.environ["BENCH_W_CARRY"]
+    if os.environ.get("BENCH_RIDGE"):
+        cfg.update.ridge = float(os.environ["BENCH_RIDGE"])
+    if os.environ.get("BENCH_W_POLISH"):
+        cfg.update.window_polish = int(os.environ["BENCH_W_POLISH"])
+    if os.environ.get("BENCH_W_ANCHOR"):
+        cfg.update.window_anchor = int(os.environ["BENCH_W_ANCHOR"])
+    if os.environ.get("BENCH_W_STORE"):
+        cfg.update.window_store = os.environ["BENCH_W_STORE"]
     cfg.mpc.horizon = horizon
     cfg.switch_step = steps // 2  # live time-varying parameters mid-run
     if preset == "duffing":

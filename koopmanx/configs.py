@@ -75,9 +75,11 @@ class MPCConfig:
     qp_rho: float = 0.1
     qp_unroll: int = 10  # ADMM-iteration scan unroll (perf, semantics-neutral)
     # KKT elimination block size (ops/linalg.spd_inverse): r>1 streams the
-    # augmented matrix ceil(n/r) times instead of n — the multi-input
-    # (Nc*nu, Nc*nu) KKT lever. See EngineConfig.qp_kkt_block.
-    qp_kkt_block: int = 1
+    # augmented matrix ceil(n/r) times instead of n. block=4 measured 2.1x
+    # the scalar elimination at (2048,20,20) and 2.2x at (8192,40,40) with
+    # equal-or-better f32 residuals (round-5 kernel study) — the default;
+    # 1 = the round-1 scalar kernel.
+    qp_kkt_block: int = 4
     qp_kkt_bf16: bool = False  # stream the KKT inverse at bf16 (see ADMMConfig)
     # carried Newton-Schulz KKT inverse (box path): >0 = NS iterations per
     # step refining last step's inverse instead of re-eliminating (the
@@ -119,6 +121,24 @@ class UpdateConfig:
     # 'windowed' mode: run the Schulz-chain refit only every k-th step
     # (ring buffer still absorbs every observation; model held between)
     window_refit_every: int = 1
+    # 'windowed' mode, Woodbury lane: carry='woodbury' replaces the
+    # per-refit Schulz chains with exact rank-2 Sherman-Morrison updates
+    # of carried Gram inverses + cross-Grams — the model is refit EVERY
+    # step at O(d^2) cost (no cadence staleness; exact-inverse extraction
+    # semantics, i.e. no truncated-chain spectral filter — validate per
+    # workload). polish = NS iterations/step squaring the inverse
+    # residual (self-correcting drift); anchor>0 = exact rebuild from the
+    # ring buffers every so many steps.
+    window_carry: str = "none"
+    window_polish: int = 1
+    window_anchor: int = 0
+    # 'windowed' mode: storage dtype of the RING BUFFERS ('float32' |
+    # 'bfloat16' | 'float16') — the ring is the large-lift HBM capacity
+    # ceiling (2.2 GB at 8192 x nlift=128); refit compute stays at the
+    # pinned full precision regardless (edmd/windowed.py upcasts, and the
+    # Woodbury lane quantizes rows before BOTH the write and the Gram
+    # update, so storage precision cannot drift the carried statistics).
+    window_store: str = "float32"
     symmetrize: bool = True
     c_pairing: str = "next"  # next (python) | same (matlab)
 

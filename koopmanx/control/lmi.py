@@ -41,7 +41,7 @@ import optax
 from jax import Array
 
 from ..types import LinearModel
-from ..ops.linalg import spd_inverse
+from ..ops.linalg import gj_solve, spd_inverse
 from .dare import dlqr_gain, solve_dare_doubling, solve_dlyap_doubling
 
 
@@ -170,6 +170,7 @@ def solve_terminal_lmi(
     method: str = "auto",
     detune_grid: int = 12,
     detune_bisect: int = 12,
+    polish_iters: int = 0,
 ) -> LMIResult:
     """Solve the Revise_2 terminal LMI for the current model.
 
@@ -197,6 +198,16 @@ def solve_terminal_lmi(
         vmappable, ~20 doubling-DARE solves — far cheaper than the
         penalized eigen-barrier.
 
+    ``polish_iters`` (method='auto' only): > 0 runs a gamma-descent polish
+    on the BINDING branch — a jittable log-det barrier interior-point
+    solve of the full SDP (``polish_iters`` outer barrier stages, damped
+    Newton inside), seeded strictly feasible from the family optimum and
+    accepted only when the endpoint certifies under the reference LMI set
+    AND improves gamma. Closes the measured 1.127x structural gap of the
+    detuned-DARE family to the numeric SDP optimum (PARITY.md). f64 /
+    eigh / slogdet territory: intended for offline synthesis and the CI
+    optimality gate, defaults OFF on the per-step engine path.
+
     ``method='penalized'``: the original fixed-iteration Adam on
     ``gamma + penalty * (PSD eigenvalue violations)``, warm-started from
     the DARE pair — kept for Revise_2-parity experiments and as an
@@ -207,7 +218,8 @@ def solve_terminal_lmi(
     """
     if method == "auto":
         return _solve_detuned_dare(
-            model, q_lift, r, psi, u_max, detune_grid, detune_bisect
+            model, q_lift, r, psi, u_max, detune_grid, detune_bisect,
+            polish_iters,
         )
     a, b = model.A, model.B
     nlift = a.shape[-1]
@@ -297,6 +309,167 @@ def solve_terminal_lmi(
     )
 
 
+def _gamma_polish(
+    a: Array,
+    b: Array,
+    sqrt_q: Array,
+    sqrt_r: Array,
+    psi: Array,
+    u_max,
+    q1_0: Array,
+    y1_0: Array,
+    gamma_0: Array,
+    iters: int,
+    mu: float = 5.0,
+    newton_per_stage: int = 12,
+):
+    """Gamma descent on the binding case: a jittable log-det barrier
+    interior-point solve of the FULL Revise_2 SDP, seeded strictly inside
+    the feasible set from the detuned-DARE family optimum (VERDICT r4
+    item 4 — a penalized Adam descent was tried first and stalled at the
+    seed: gamma moved <2% in 4000 iterations; the barrier Newton method
+    is the right tool, same algorithm family as the independently
+    self-checked NumPy oracle ``eval/sdp_oracle.py::terminal_sdp_solve``).
+
+    Branch-free port of the classic barrier method: a fixed geometric
+    t-schedule (``iters`` outer stages, factor ``mu``), a fixed count of
+    damped Newton steps per stage, and a 14-candidate backtracking line
+    search selected with ``jnp.where`` on (strict feasibility AND Armijo
+    decrease). Variables are the YALMIP set (gamma, X1, Q1, Y1) packed
+    into one vector; the Hessian is exact via ``jax.hessian`` (the
+    barrier is smooth on the interior). f64-oriented (slogdet/eigh);
+    intended for offline synthesis and the CI optimality gate, not the
+    per-step TPU path. Returns ``(p, k, gamma, ok)``; ``ok`` False keeps
+    the family result."""
+    nlift = a.shape[-1]
+    m = b.shape[-1]
+    dtype = a.dtype
+    iu_x = jnp.triu_indices(m)
+    iu_q = jnp.triu_indices(nlift)
+    nx_v, nq_v = iu_x[0].size, iu_q[0].size
+
+    def unpack(v):
+        gamma = v[0]
+        x1 = jnp.zeros((m, m), dtype).at[iu_x].set(v[1 : 1 + nx_v])
+        x1 = x1 + jnp.triu(x1, 1).T
+        q1 = jnp.zeros((nlift, nlift), dtype).at[iu_q].set(
+            v[1 + nx_v : 1 + nx_v + nq_v]
+        )
+        q1 = q1 + jnp.triu(q1, 1).T
+        y1 = v[1 + nx_v + nq_v :].reshape(m, nlift)
+        return gamma, x1, q1, y1
+
+    def lmis(v):
+        gamma, x1, q1, y1 = unpack(v)
+        lmi0 = jnp.block([[x1, y1], [y1.T, q1]])
+        lmi1 = jnp.block(
+            [[jnp.ones((1, 1), dtype), psi[None, :]], [psi[:, None], q1]]
+        )
+        aq_by = a @ q1 + b @ y1
+        z_nn = jnp.zeros((nlift, nlift), dtype)
+        z_nm = jnp.zeros((nlift, m), dtype)
+        lmi2 = jnp.block(
+            [
+                [q1, aq_by.T, (sqrt_q @ q1).T, (sqrt_r @ y1).T],
+                [aq_by, q1, z_nn, z_nm],
+                [sqrt_q @ q1, z_nn,
+                 gamma * jnp.eye(nlift, dtype=dtype), z_nm],
+                [sqrt_r @ y1, z_nm.T, z_nm.T,
+                 gamma * jnp.eye(m, dtype=dtype)],
+            ]
+        )
+        slack = u_max**2 - jnp.diag(x1)
+        return gamma, lmi0, lmi1, lmi2, q1, slack
+
+    def barrier(v, t):
+        gamma, lmi0, lmi1, lmi2, q1, slack = lmis(v)
+        # margin-shifted LMI1 (the reference requires LMI1 >= 0.01 I)
+        lmi1 = lmi1 - 0.01 * jnp.eye(lmi1.shape[-1], dtype=dtype)
+        ld = (
+            jnp.linalg.slogdet(lmi0)[1]
+            + jnp.linalg.slogdet(lmi1)[1]
+            + jnp.linalg.slogdet(lmi2)[1]
+            + jnp.linalg.slogdet(q1)[1]
+            + jnp.sum(jnp.log(jnp.maximum(slack, 1e-300)))
+        )
+        return t * gamma - ld
+
+    def min_eig_all(v):
+        _, lmi0, lmi1, lmi2, q1, slack = lmis(v)
+        lmi1 = lmi1 - 0.01 * jnp.eye(lmi1.shape[-1], dtype=dtype)
+        me = jnp.minimum(
+            jnp.minimum(_min_eig(lmi0), _min_eig(lmi1)),
+            jnp.minimum(_min_eig(lmi2), _min_eig(q1)),
+        )
+        return jnp.minimum(me, jnp.min(slack))
+
+    # ---- strictly feasible seed: the polished family point sits ON the
+    # input-bound boundary (binding case), so inflating gamma there
+    # overshoots X1 past u_max^2. Build candidate seeds from EVERY
+    # detuned-grid member (q1_0/y1_0/gamma_0 carry the (grid,) stacks) —
+    # more detuned = smaller gain = strict input margin — inflate gamma
+    # 1.5x, set the mid-box X1, and take the FIRST strictly interior one
+    # (smallest s, closest to the optimum), the oracle's seeding rule. ----
+    def build_seed(q1_i, y1_i, g_i):
+        gamma_s = g_i * 1.5 + 1e-3
+        q1_s = _sym(q1_i * 1.5)  # Q1 = gamma P^{-1} scales with gamma
+        y1_s = y1_i * 1.5
+        x1_lo = _sym(y1_s @ (spd_inverse(q1_s, eps=1e-12) @ y1_s.T))
+        x1_s = 0.5 * (x1_lo + u_max**2 * jnp.eye(m, dtype=dtype))
+        return jnp.concatenate(
+            [gamma_s[None], x1_s[iu_x], q1_s[iu_q], y1_s.ravel()]
+        )
+
+    seeds = jax.vmap(build_seed)(q1_0, y1_0, gamma_0)
+    strict = jax.vmap(min_eig_all)(seeds) > 1e-10
+    seed_idx = jnp.argmax(strict)
+    v0 = seeds[seed_idx]
+    seed_ok = jnp.any(strict)
+
+    nvar = v0.shape[0]
+    nu = (m + nlift) + (nlift + 1) + (3 * nlift + m) + nlift + m
+    alphas = 2.0 ** -jnp.arange(14, dtype=dtype)
+
+    grad_f = jax.grad(barrier)
+    hess_f = jax.hessian(barrier)
+
+    def newton(v, t):
+        g = grad_f(v, t)
+        h = hess_f(v, t)
+        scale = jnp.maximum(jnp.max(jnp.abs(h)), 1.0)
+        dx = -gj_solve(
+            h + (1e-12 * scale) * jnp.eye(nvar, dtype=dtype), g[:, None]
+        )[:, 0]
+        lam2 = -g @ dx
+        f0 = barrier(v, t)
+        cands = v[None, :] + alphas[:, None] * dx[None, :]
+        feas = jax.vmap(min_eig_all)(cands) > 0
+        fvals = jax.vmap(lambda c: barrier(c, t))(cands)
+        armijo = fvals < f0 - 1e-4 * alphas * lam2
+        ok = feas & armijo & jnp.isfinite(fvals)
+        idx = jnp.argmax(ok)  # largest acceptable alpha
+        v_new = jnp.where(jnp.any(ok), cands[idx], v)
+        return v_new
+
+    def stage(carry, _):
+        v, t = carry
+        def nstep(vv, _):
+            return newton(vv, t), None
+        v, _ = jax.lax.scan(nstep, v, None, length=newton_per_stage)
+        return (v, t * mu), None
+
+    t0 = jnp.maximum(nu / jnp.maximum(v0[0], 1.0), 1.0)
+    (v, t_end), _ = jax.lax.scan(stage, (v0, t0), None, length=iters)
+
+    gamma, x1, q1, y1 = unpack(v)
+    # certify the endpoint exactly under the reference LMI set
+    feasible = (min_eig_all(v) >= 0) & jnp.isfinite(gamma) & seed_ok
+    q1_inv = spd_inverse(q1, eps=1e-12)
+    k_out = y1 @ q1_inv
+    p_out = _sym(gamma * q1_inv)
+    return p_out, k_out, gamma, feasible
+
+
 def _solve_detuned_dare(
     model: LinearModel,
     q_lift: Array,
@@ -305,6 +478,7 @@ def _solve_detuned_dare(
     u_max,
     grid: int,
     bisect: int,
+    polish_iters: int = 0,
 ) -> LMIResult:
     """`method='auto'` body — see :func:`solve_terminal_lmi` docstring."""
     a, b = model.A, model.B
@@ -373,6 +547,42 @@ def _solve_detuned_dare(
     p_out = jnp.where(ok0, p0, jnp.where(use_det, p_b, p_hi))
     k_out = jnp.where(ok0, k0, jnp.where(use_det, k_b, k_hi))
     gamma = jnp.where(ok0, g0, jnp.where(use_det, g_b, g_hi))
+
+    if polish_iters > 0:
+        # gamma-descent polish off the family manifold (binding case).
+        # Seeds: a RIDGED-Q detuned grid — the unridged family members sit
+        # exactly ON the LMI2 boundary (the Lyapunov slack (s-1) K'RK is
+        # rank-1, singular in every other direction), so no barrier can
+        # start from them; ridging Q by eps*I before the DARE makes the
+        # slack eps*I + (s-1) K'RK strictly PD (the numeric oracle's
+        # seeding rule, eval/sdp_oracle.py::terminal_sdp_solve). eps at
+        # 1e-6*tr — the oracle's 1e-9 leaves an LMI2 margin ~2e-9 whose
+        # 1/lambda^2 barrier curvature stalls the fixed-iteration Newton
+        # (measured: gamma stuck at the seed; at 1e-6 it descends to
+        # 1.018x the SDP optimum on the gated instance).
+        eps_q = 1e-6 * jnp.maximum(jnp.trace(q_mat), 1.0)
+        q_ridged = q_mat + eps_q * jnp.eye(nlift, dtype=dtype)
+
+        def ridged_candidate(_, s):
+            p_s = solve_dare_doubling(a, b, q_ridged, s * r_mat)
+            k_s = -dlqr_gain(a, b, q_ridged, s * r_mat, p_s)
+            g_s = psi @ p_s @ psi
+            q1_s = _sym(g_s * spd_inverse(p_s, eps=1e-12))
+            return None, (q1_s, k_s @ q1_s, g_s)
+
+        _, (q1_grid, y1_grid, g_grid) = jax.lax.scan(
+            ridged_candidate, None, s_grid
+        )
+        p_p, k_p, g_p, ok_p = _gamma_polish(
+            a, b, sqrt_q, sqrt_r, psi, u_max,
+            q1_grid, y1_grid, g_grid, polish_iters,
+        )
+        # accept only a certified IMPROVEMENT, and never on the slack
+        # fast path (already exactly optimal there)
+        take = (~ok0) & ok_p & (g_p < gamma)
+        p_out = jnp.where(take, p_p, p_out)
+        k_out = jnp.where(take, k_p, k_out)
+        gamma = jnp.where(take, g_p, gamma)
 
     feas = _lmi_feasibility(
         a, b, sqrt_q, sqrt_r, psi, u_max, gamma, p_out, k_out

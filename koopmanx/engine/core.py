@@ -44,7 +44,13 @@ from ..control.dare import dlqr_gain, solve_dare_doubling
 from ..control.lmi import solve_terminal_lmi
 from ..control.terminal import synthesize_terminal
 from ..types import QPSolution
-from ..edmd.windowed import window_model, window_update
+from ..edmd.windowed import (
+    window_model,
+    window_model_carry,
+    window_reanchor,
+    window_update,
+    window_update_carry,
+)
 from ..edmd.rls import (
     gram_rls_model,
     gram_rls_update,
@@ -140,8 +146,9 @@ class EngineConfig:
     qp_unroll: int = 10
     # Block size for the KKT elimination (ADMMConfig.kkt_block): r > 1
     # streams the augmented matrix ceil(n/r) times instead of n — the
-    # measured lever for the multi-input (Nc*nu, Nc*nu) KKT. 1 = scalar.
-    qp_kkt_block: int = 1
+    # measured lever for the multi-input (Nc*nu, Nc*nu) KKT (2.1-2.2x at
+    # n=20/40, equal-or-better residuals; round-5 study). 1 = scalar.
+    qp_kkt_block: int = 4
     # Carried Newton-Schulz KKT inverse (box path only): >0 replaces the
     # per-step exact Gauss-Jordan inversion of the ADMM KKT matrix — the
     # step's dominant HBM stream (BENCHMARKS.md round-2 roofline) — with
@@ -178,6 +185,22 @@ class EngineConfig:
     # step). 0 disables (static filter, round-3 semantics).
     window_filter_late: int = 0
     window_filter_warmup: int = 300
+    # 'windowed' Woodbury lane (edmd/windowed.py::window_update_carry):
+    # 'woodbury' carries the window's Gram inverses + cross-Grams and
+    # updates them EXACTLY by rank-2 Sherman-Morrison each step — the
+    # Schulz chains (the windowed step's measured dominant cost) vanish
+    # and the model is fresh every step. Exact-inverse extraction
+    # semantics: the truncated chain's spectral filter is NOT applied, so
+    # this lane is opt-in per validated workload (small-lift presets keep
+    # the filter — three documented negatives). window_filter/
+    # window_refit_every/window_filter_late are ignored in this lane.
+    window_carry: str = "none"
+    # NS polish iterations per step on each carried inverse (residual
+    # squaring against the exact carried Gram — self-correcting drift)
+    window_polish: int = 1
+    # exact statistics rebuild from the ring buffers every so many steps
+    # (lax.cond on the unbatched step index; 0 = never)
+    window_anchor: int = 0
     # Refit cadence: re-extract (A, B, C) from the window every k-th step
     # only (the ring buffer still absorbs every observation, so no data is
     # lost — the model is just held between refits). The tank step's
@@ -838,6 +861,23 @@ def make_estimator_update(dictionary: Dictionary, cfg: EngineConfig):
                 rls_new, z, c_target, lam=cfg.rls_lambda, ridge=cfg.rls_ridge
             )
             new_model = sqrt_rls_model(rls_new, dictionary.nlift)
+        elif cfg.update == "windowed" and cfg.window_carry == "woodbury":
+            rls_new = window_update_carry(
+                rls, z, u, z_next, c_target, polish=cfg.window_polish
+            )
+            if cfg.window_anchor > 0:
+                # exact rebuild from the buffers on anchor steps only —
+                # `step` is unbatched (the scan index), so the cond is a
+                # REAL branch under the scenario vmap
+                rls_new = jax.lax.cond(
+                    (step + 1) % cfg.window_anchor == 0,
+                    lambda s: window_reanchor(
+                        s, max(cfg.rls_ridge, 1e-5)
+                    ),
+                    lambda s: s,
+                    rls_new,
+                )
+            new_model = window_model_carry(rls_new, dictionary.nlift)
         elif cfg.update == "windowed":
             rls_new = window_update(rls, z, u, z_next, c_target)
             ridge = max(cfg.rls_ridge, 1e-5)

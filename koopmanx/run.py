@@ -227,6 +227,9 @@ def engine_config(cfg: C.RunConfig) -> EngineConfig:
         window_filter_late=uc.window_filter_late,
         window_filter_warmup=uc.window_filter_warmup,
         window_refit_every=uc.window_refit_every,
+        window_carry=uc.window_carry,
+        window_polish=uc.window_polish,
+        window_anchor=uc.window_anchor,
         dither=uc.dither,
         symmetrize=uc.symmetrize,
         switch_step=cfg.switch_step,
@@ -348,7 +351,13 @@ def _build_pipeline_on_host(cfg: C.RunConfig, x_init=None) -> Pipeline:
 
         zx, zy = lift_snapshots(dictionary, data)
         rls0 = window_init(
-            uc.window, dictionary.nlift, system.m, system.n, dtype
+            uc.window, dictionary.nlift, system.m, system.n, dtype,
+            carry=uc.window_carry == "woodbury",
+            ridge=max(uc.ridge, 1e-5),
+            store_dtype=(
+                None if uc.window_store == "float32"
+                else jnp.dtype(uc.window_store)
+            ),
         )
         rls0 = window_prefill(rls0, zx, data.u, zy, data.x)
     elif uc.mode == "storage" or uc.warm_start_from_batch:

@@ -179,7 +179,11 @@ def test_lmi_binding_case_optimality_vs_numeric_sdp():
 
     Self-check first: on the SLACK case the numeric solver must reproduce
     the analytic optimum gamma* = psi' P_dare psi."""
-    from koopmanx.eval.sdp_oracle import terminal_sdp_optimum, terminal_sdp_solve
+    from koopmanx.eval.sdp_oracle import (
+        check_reference_lmis,
+        terminal_sdp_optimum,
+        terminal_sdp_solve,
+    )
 
     model = _duffing_like_model()
     nlift = 10
@@ -212,6 +216,25 @@ def test_lmi_binding_case_optimality_vs_numeric_sdp():
     g = float(res.gamma)
     assert g >= sol.gamma * (1 - 1e-6), (g, sol.gamma)  # valid upper bound
     assert g <= sol.gamma * 1.2, (g, sol.gamma, g / sol.gamma)
+
+    # (2) gamma-descent polish (round 5): the jittable barrier IPM seeded
+    # off the family manifold closes the structural gap — measured
+    # 1.018x the numeric SDP optimum on this instance (was 1.127x family-
+    # only); gate at 1.05 (VERDICT r4 item 4), feasibility certified
+    res_p = solve_terminal_lmi(model, q, r, psi, u_max=2.0,
+                               polish_iters=10)
+    g_p = float(res_p.gamma)
+    assert g_p >= sol.gamma * (1 - 1e-6), (g_p, sol.gamma)
+    assert g_p <= sol.gamma * 1.05, (g_p, sol.gamma, g_p / sol.gamma)
+    assert float(res_p.feasibility) <= 1e-9, float(res_p.feasibility)
+    chk = check_reference_lmis(
+        np.asarray(model.A), np.asarray(model.B), np.asarray(q),
+        np.asarray(r), np.asarray(psi), 2.0, g_p,
+        np.asarray(res_p.p), np.asarray(res_p.k),
+    )
+    assert chk["lmi2_min_eig"] >= -1e-8
+    assert chk["lmi1_min_eig"] >= 0.01 - 1e-6
+    assert chk["input_bound_slack"] >= -1e-8
 
 
 def test_lmi_penalized_method_surfaces_binding_violation():

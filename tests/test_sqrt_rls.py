@@ -187,3 +187,156 @@ def test_windowed_unit_semantics():
     model = window_model(st, nlift, ridge=ridge)
     np.testing.assert_allclose(np.asarray(model.A), k_ref[:, :nlift], atol=1e-6)
     np.testing.assert_allclose(np.asarray(model.B), k_ref[:, nlift:], atol=1e-6)
+
+
+def test_window_carry_woodbury_matches_exact_refit():
+    """The Woodbury lane's carried statistics track the exact window
+    normal equations: after wrapping the ring several times (including
+    evicting the zero rows of a partial prefill), the carried-inverse
+    extraction equals a from-scratch exact refit at f64 tightness."""
+    import jax
+
+    from koopmanx.edmd.windowed import (
+        window_init,
+        window_model_carry,
+        window_reanchor,
+        window_update_carry,
+    )
+
+    rng = np.random.RandomState(3)
+    w, nlift, m, n = 16, 4, 2, 2
+    ridge = 1e-3
+    st = window_init(w, nlift, m, n, jnp.float64, carry=True, ridge=ridge)
+    obs = []
+    for i in range(41):  # 2.5 wraps
+        z, u, zn, xt = (
+            rng.randn(nlift), rng.randn(m), rng.randn(nlift), rng.randn(n)
+        )
+        st = window_update_carry(
+            st, jnp.asarray(z), jnp.asarray(u), jnp.asarray(zn),
+            jnp.asarray(xt), polish=1,
+        )
+        obs.append((z, u, zn, xt))
+    last = obs[-w:]
+    v = np.array([np.concatenate([z, u]) for z, u, _, _ in last])
+    zy = np.array([zn for _, _, zn, _ in last])
+    zx = np.array([z for z, _, _, _ in last])
+    xs = np.array([xt for _, _, _, xt in last])
+    k_ref = np.linalg.solve(
+        v.T @ v + ridge * np.eye(nlift + m), v.T @ zy
+    ).T
+    c_ref = np.linalg.solve(
+        zx.T @ zx + ridge * np.eye(nlift), zx.T @ xs
+    ).T
+    model = window_model_carry(st, nlift)
+    np.testing.assert_allclose(np.asarray(model.A), k_ref[:, :nlift],
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(model.B), k_ref[:, nlift:],
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(model.C), c_ref, atol=1e-9)
+    # the anchor rebuild is a fixed point of already-exact statistics
+    st2 = window_reanchor(st, ridge)
+    for a, b in zip(st, st2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+
+
+def test_window_carry_woodbury_f32_closed_loop_consistency():
+    """f32, many wraps, with NS polish: the carried inverse stays within
+    f32 working accuracy of the exact window inverse (the self-correcting
+    drift claim), including through an abrupt data-regime change."""
+    from koopmanx.edmd.windowed import (
+        window_init,
+        window_update_carry,
+    )
+
+    rng = np.random.RandomState(5)
+    w, nlift, m, n = 32, 6, 2, 2
+    ridge = 3e-2
+    st = window_init(w, nlift, m, n, jnp.float32, carry=True, ridge=ridge)
+    scale = 1.0
+    worst = 0.0
+    for i in range(300):
+        if i == 150:
+            scale = 4.0  # regime change: new rows 16x the Gram energy
+        z = (scale * rng.randn(nlift)).astype(np.float32)
+        u = (scale * rng.randn(m)).astype(np.float32)
+        zn = (scale * rng.randn(nlift)).astype(np.float32)
+        xt = rng.randn(n).astype(np.float32)
+        st = window_update_carry(
+            st, jnp.asarray(z), jnp.asarray(u), jnp.asarray(zn),
+            jnp.asarray(xt), polish=1,
+        )
+        if i % 50 == 49:
+            res = np.abs(
+                np.asarray(st.g, np.float64) @ np.asarray(st.g_inv, np.float64)
+                - np.eye(nlift + m)
+            ).max()
+            worst = max(worst, res)
+    assert worst < 5e-3, worst
+
+
+def test_window_bf16_ring_consistency():
+    """Compressed (bf16) ring storage: (a) the chain-lane refit computes
+    at full precision on the quantized data — its model matches an f32
+    refit on pre-quantized rows exactly; (b) the Woodbury lane's carried
+    Grams track the quantized buffer contents bit-consistently through
+    wraps (the quantize-before-use rule), so reanchor is a fixed point."""
+    from koopmanx.edmd.windowed import (
+        window_init,
+        window_model,
+        window_model_carry,
+        window_reanchor,
+        window_update,
+        window_update_carry,
+    )
+
+    rng = np.random.RandomState(11)
+    w, nlift, m, n = 12, 4, 1, 2
+    ridge = 1e-2
+
+    # (a) chain lane
+    st16 = window_init(w, nlift, m, n, jnp.float32,
+                       store_dtype=jnp.bfloat16)
+    st32 = window_init(w, nlift, m, n, jnp.float32)
+    for i in range(30):
+        z, u, zn, xt = (rng.randn(nlift).astype(np.float32),
+                        rng.randn(m).astype(np.float32),
+                        rng.randn(nlift).astype(np.float32),
+                        rng.randn(n).astype(np.float32))
+        st16 = window_update(st16, jnp.asarray(z), jnp.asarray(u),
+                             jnp.asarray(zn), jnp.asarray(xt))
+        # f32 buffer fed the PRE-QUANTIZED rows: same data, so the models
+        # must agree to f32 arithmetic noise
+        qz = jnp.asarray(z).astype(jnp.bfloat16).astype(jnp.float32)
+        qu = jnp.asarray(u).astype(jnp.bfloat16).astype(jnp.float32)
+        qzn = jnp.asarray(zn).astype(jnp.bfloat16).astype(jnp.float32)
+        qxt = jnp.asarray(xt).astype(jnp.bfloat16).astype(jnp.float32)
+        st32 = window_update(st32, qz, qu, qzn, qxt)
+    m16 = window_model(st16, nlift, ridge=ridge, schulz_iters=0)
+    m32 = window_model(st32, nlift, ridge=ridge, schulz_iters=0)
+    np.testing.assert_allclose(np.asarray(m16.A), np.asarray(m32.A),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m16.C), np.asarray(m32.C),
+                               atol=1e-5)
+
+    # (b) Woodbury lane on a bf16 ring
+    st = window_init(w, nlift, m, n, jnp.float32, carry=True,
+                     ridge=ridge, store_dtype=jnp.bfloat16)
+    for i in range(30):
+        st = window_update_carry(
+            st,
+            jnp.asarray(rng.randn(nlift), jnp.float32),
+            jnp.asarray(rng.randn(m), jnp.float32),
+            jnp.asarray(rng.randn(nlift), jnp.float32),
+            jnp.asarray(rng.randn(n), jnp.float32),
+            polish=1,
+        )
+    st2 = window_reanchor(st, ridge)
+    # reanchor (recompute from the bf16 buffers) must agree with the
+    # carried statistics — the quantize-before-use rule at work
+    np.testing.assert_allclose(np.asarray(st.g), np.asarray(st2.g),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(st.mg), np.asarray(st2.mg),
+                               atol=2e-4)
+    model = window_model_carry(st, nlift)
+    assert np.isfinite(np.asarray(model.A)).all()

@@ -28,7 +28,13 @@ def make_spd(key, b, n, cond=1e3, dtype=jnp.float32):
     a = jax.random.normal(key, (b, n, n), dtype)
     q, _ = jnp.linalg.qr(a)
     lam = jnp.logspace(0, jnp.log10(cond), n, dtype=dtype)
-    return jnp.einsum("bij,j,bkj->bik", q, lam, q)
+    k = jnp.einsum("bij,j,bkj->bik", q, lam, q)
+    # EXACT symmetrization: at TPU-default (bf16-pass) einsum precision the
+    # product is asymmetric by ~1e-3 relative — candidates that symmetrize
+    # their output (spd_inverse does, its callers rely on it) then show an
+    # O(asymmetry * cond) phantom residual (measured 0.163 at n=40 on a
+    # device-built k vs 1.4e-5 on an exactly-symmetric host-built one)
+    return 0.5 * (k + jnp.swapaxes(k, -1, -2))
 
 
 def inv_lu(k):
@@ -171,10 +177,15 @@ def main():
     base = loop_time(lambda kk: kk, k)
     print(f"{'baseline (copy)':24s} {base*1e3:9.3f} ms/iter")
 
+    from koopmanx.ops.linalg import spd_inverse
+
     candidates = [
         ("lu_inv", inv_lu, None),
         ("chol_lapack", inv_chol_lapack, None),
         ("gj_unrolled", inv_gj_unrolled, None),
+        ("gj_block2", lambda kk: spd_inverse(kk, block=2), None),
+        ("gj_block4", lambda kk: spd_inverse(kk, block=4), None),
+        ("gj_block8", lambda kk: spd_inverse(kk, block=8), None),
         ("schur_block", inv_schur, None),
     ]
     for name, fn, _ in candidates:
@@ -191,6 +202,20 @@ def main():
     out = jax.jit(ns_refine4)(k, x0)
     err = residual(k, out)
     print(f"{'ns_refine4 (warm)':24s} {t*1e3:9.3f} ms/iter (net {max(t-base,0)*1e3:7.3f})  max|KX-I|={err:.2e}")
+
+    # the production estimator pins FULL f32 matmul precision
+    # (edmd.rls.full_precision) — the default-precision NS row above runs
+    # bf16-pass matmuls (residual ~0.4-1.0 at cond 1e3: each iteration
+    # injects ~1e-3 relative error), so the production-relevant NS number
+    # is this pinned row
+    def ns_refine4_pinned(kk, x0in):
+        with jax.default_matmul_precision("highest"):
+            return ns_refine4(kk, x0in)
+
+    t = loop_time(ns_refine4_pinned, k, x0)
+    out = jax.jit(ns_refine4_pinned)(k, x0)
+    err = residual(k, out)
+    print(f"{'ns_refine4 (warm,f32)':24s} {t*1e3:9.3f} ms/iter (net {max(t-base,0)*1e3:7.3f})  max|KX-I|={err:.2e}")
 
 
 if __name__ == "__main__":

@@ -49,6 +49,20 @@ def main():
         cfg.update.window_filter_late = int(os.environ["W_FILTER_LATE"])
     if os.environ.get("W_FILTER_WARMUP"):
         cfg.update.window_filter_warmup = int(os.environ["W_FILTER_WARMUP"])
+    if os.environ.get("W_CARRY"):
+        cfg.update.window_carry = os.environ["W_CARRY"]
+    if os.environ.get("W_POLISH"):
+        cfg.update.window_polish = int(os.environ["W_POLISH"])
+    if os.environ.get("W_ANCHOR"):
+        cfg.update.window_anchor = int(os.environ["W_ANCHOR"])
+    if os.environ.get("RIDGE"):
+        cfg.update.ridge = float(os.environ["RIDGE"])
+    if os.environ.get("W_STORE"):
+        cfg.update.window_store = os.environ["W_STORE"]
+    if os.environ.get("KKT_BLOCK"):
+        cfg.mpc.qp_kkt_block = int(os.environ["KKT_BLOCK"])
+    if os.environ.get("APPLIED_BOUNDS"):
+        cfg.mpc.applied_bounds = os.environ["APPLIED_BOUNDS"]
     if os.environ.get("SWITCH"):
         cfg.switch_step = int(os.environ["SWITCH"])
     pipe = build_pipeline(cfg)
