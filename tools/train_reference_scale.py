@@ -67,10 +67,17 @@ def main():
     import optax
 
     system = get_system(args.system)
-    # training data: the reference's 100x100 protocol (data_generate.py:17-79)
+    # training data: the reference's 100x100 protocol (data_generate.py:
+    # 17-79). Excitation matches each plant's operating regime (the
+    # pendulum preset drives ±6 torque — the (-2, 2) duffing default
+    # under-excites it and the learned lift never sees the setpoint's
+    # steady torque ~3.4-5.1).
+    u_rng = {"pendulum": (-6.0, 6.0), "vanderpol": (-2.0, 2.0)}.get(
+        args.system, (-2.0, 2.0)
+    )
     data = collect(
         system, jax.random.PRNGKey(0),
-        n_step=args.n_step, n_traj=args.n_traj,
+        n_step=args.n_step, n_traj=args.n_traj, u_range=u_rng,
     )
     n_snap = data.x.shape[0]
     rec_only_after = (
@@ -109,7 +116,8 @@ def main():
     if args.val_select:
         with jax.default_device(host):
             val_sel = collect(
-                system, jax.random.PRNGKey(3), n_step=500, n_traj=1
+                system, jax.random.PRNGKey(3), n_step=500, n_traj=1,
+                u_range=u_rng,
             )
 
         def eval_callback(state, epoch):
@@ -129,7 +137,8 @@ def main():
 
     # inference-side loss harness on FRESH data (duffing.py:179-235)
     fresh = collect(
-        system, jax.random.PRNGKey(1), n_step=args.n_step, n_traj=20
+        system, jax.random.PRNGKey(1), n_step=args.n_step, n_traj=20,
+        u_range=u_rng,
     )
     losses = evaluate(state, fresh, n_step=args.n_step, cfg=cfg)
 
@@ -147,6 +156,7 @@ def main():
     with jax.default_device(host):
         val = collect(
             system, jax.random.PRNGKey(2), n_step=500, n_traj=1,
+            u_range=u_rng,
         )
 
         results = {}
@@ -159,10 +169,26 @@ def main():
         ref_mat = "/root/reference/Revise_2/duffing_weights.mat" \
             if args.system == "duffing" else \
             "/root/reference/VDP_Revise_2/Good_VDP.mat"
-        if os.path.exists(ref_mat):
+        if args.system in ("duffing", "vanderpol") and os.path.exists(
+            ref_mat
+        ):
             ref_params = load_mat_mlp(ref_mat, dtype=jnp.float32)
             results["reference_encoder"] = openloop_rmse_host(
                 encoder_dictionary(ref_params, n=system.n), data_h, val
+            )
+        # systems the reference never trained on (e.g. pendulum): compare
+        # against the PRESET's production dictionary instead — the bar the
+        # trained encoder must beat to flip the preset
+        from koopmanx.configs import PRESETS
+        from koopmanx.run import build_dictionary
+
+        if args.system in PRESETS:
+            pcfg = PRESETS[args.system]()
+            preset_dict = build_dictionary(
+                pcfg, data_h, jax.random.PRNGKey(7)
+            )
+            results["preset_dictionary"] = openloop_rmse_host(
+                preset_dict, data_h, val
             )
 
     print(json.dumps({
