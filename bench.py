@@ -62,6 +62,8 @@ def main():
     cfg.mpc.qp_kkt_block = int(
         os.environ.get("BENCH_KKT_BLOCK", str(cfg.mpc.qp_kkt_block))
     )
+    if os.environ.get("BENCH_KKT_LOWRANK"):
+        cfg.mpc.qp_kkt_lowrank = bool(int(os.environ["BENCH_KKT_LOWRANK"]))
     if os.environ.get("BENCH_APPLIED_BOUNDS"):
         cfg.mpc.applied_bounds = os.environ["BENCH_APPLIED_BOUNDS"]
     cfg.mpc.qp_kkt_reanchor = int(os.environ.get("BENCH_KKT_REANCHOR", "16"))

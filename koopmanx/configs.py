@@ -74,6 +74,10 @@ class MPCConfig:
     qp_iters: int = 60
     qp_rho: float = 0.1
     qp_unroll: int = 10  # ADMM-iteration scan unroll (perf, semantics-neutral)
+    # Output-space (Woodbury) KKT inversion when tracking fewer outputs
+    # than inputs (py < m): reduces the (N*m)^2 elimination to (N*py)^2 —
+    # exact, auto-gated; see EngineConfig.qp_kkt_lowrank.
+    qp_kkt_lowrank: bool = True
     # KKT elimination block size (ops/linalg.spd_inverse): r>1 streams the
     # augmented matrix ceil(n/r) times instead of n. block=4 measured 2.1x
     # the scalar elimination at (2048,20,20) and 2.2x at (8192,40,40) with

@@ -224,16 +224,42 @@ def window_update_carry(
 
     # inverses: add-then-remove Sherman-Morrison, then NS polish against
     # the exact carried Gram (symmetrize: SM/NS preserve symmetry only to
-    # rounding, and downstream solves rely on symmetric inverses)
+    # rounding, and downstream solves rely on symmetric inverses).
+    # DIVERGENCE SAFEGUARD (observed failure, 2026-08-21: the f32 rbf128
+    # 3000-step on-chip run blew the carry to inf — an SM removal with a
+    # near-cancelled denominator tips ||I - G X|| past 1, after which the
+    # NS polish diverges QUADRATICALLY and the engine's rls-finiteness
+    # guard freezes the whole estimator forever): the polish already
+    # forms h = G @ X, so the pre-update residual ||I - h||_F^2 is free —
+    # when it is non-finite or above the 4d divergence threshold (a
+    # healthy mid-convergence residual is <= d, and a diverging iterate
+    # blows past 4d within ~2 squarings), the inverse RESTARTS from the
+    # globally-convergent Schulz seed G'/(||G||_1 ||G||_inf); the
+    # per-step polish then reconverges it in ~15-20 steps while
+    # model_guard holds the last sane model. Requires polish >= 1.
     g_inv = _sm_step(_sm_step(state.g_inv, v_new, 1.0), v_old, -1.0)
     gz_inv = _sm_step(_sm_step(state.gz_inv, z, 1.0), z_old, -1.0)
-    eye_d = 2.0 * jnp.eye(g.shape[-1], dtype=g.dtype)
-    eye_n = 2.0 * jnp.eye(gz.shape[-1], dtype=gz.dtype)
-    for _ in range(polish):
-        g_inv = g_inv @ (eye_d - g @ g_inv)
-        gz_inv = gz_inv @ (eye_n - gz @ gz_inv)
-    g_inv = 0.5 * (g_inv + g_inv.T)
-    gz_inv = 0.5 * (gz_inv + gz_inv.T)
+
+    def _polished(mat, inv):
+        d_ = mat.shape[-1]
+        eye2 = 2.0 * jnp.eye(d_, dtype=mat.dtype)
+        h = None
+        for _ in range(polish):
+            h = mat @ inv
+            inv = inv @ (eye2 - h)
+        if h is not None:
+            r2 = jnp.sum((h - jnp.eye(d_, dtype=mat.dtype)) ** 2)
+            bad = ~jnp.isfinite(r2) | (r2 > 4.0 * d_)
+            norm1 = jnp.max(jnp.sum(jnp.abs(mat), axis=-2))
+            norminf = jnp.max(jnp.sum(jnp.abs(mat), axis=-1))
+            seed = mat.T / jnp.maximum(
+                norm1 * norminf, jnp.asarray(1e-30, mat.dtype)
+            )
+            inv = jnp.where(bad, seed, inv)
+        return 0.5 * (inv + inv.T)
+
+    g_inv = _polished(g, g_inv)
+    gz_inv = _polished(gz, gz_inv)
 
     return WindowState(
         zx=state.zx.at[i].set(z_q),

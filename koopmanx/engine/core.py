@@ -38,7 +38,13 @@ from ..control.condensed import (
     prediction_matrices,
     weight_bar,
 )
-from ..control.qp import ADMMConfig, box_kkt, make_box_qp_solver, solve_qp
+from ..control.qp import (
+    ADMMConfig,
+    _effective_rho,
+    box_kkt,
+    make_box_qp_solver,
+    solve_qp,
+)
 from ..ops.linalg import ns_tracking_inverse, spd_inverse
 from ..control.dare import dlqr_gain, solve_dare_doubling
 from ..control.lmi import solve_terminal_lmi
@@ -149,6 +155,18 @@ class EngineConfig:
     # measured lever for the multi-input (Nc*nu, Nc*nu) KKT (2.1-2.2x at
     # n=20/40, equal-or-better residuals; round-5 study). 1 = scalar.
     qp_kkt_block: int = 4
+    # Output-space (Woodbury) KKT inversion on the box fast path: the
+    # condensed Hessian is KKT = D + 2 F2' Qbar F2 with BLOCK-DIAGONAL
+    # D = 2 Rbar + (sigma+rho) I (Rbar = I_N (x) R) and F2 of shape
+    # (N*py, N*m) — when the loop tracks fewer outputs than inputs
+    # (py < m, e.g. tank_mimo's single-level tracking with two pumps),
+    # the matrix-inversion lemma reduces the (N*m, N*m) elimination to an
+    # (N*py, N*py) one + a few batched matmuls, making the KKT-inverse
+    # cost independent of nu. Exact (same matrix, same ADMM), auto-gated:
+    # engages only when py < m, the constraint set is the pure box, no
+    # terminal override is injected (Qbar must stay block-diagonal PD),
+    # and the carried-inverse mode is off.
+    qp_kkt_lowrank: bool = True
     # Carried Newton-Schulz KKT inverse (box path only): >0 replaces the
     # per-step exact Gauss-Jordan inversion of the ADMM KKT matrix — the
     # step's dominant HBM stream (BENCHMARKS.md round-2 roofline) — with
@@ -577,6 +595,14 @@ def make_control_solver(dictionary: Dictionary, cfg: EngineConfig, ref_fn,
             # vmap its custom batching rule can route the whole batch to
             # the VMEM-resident Pallas kernel (cfg.qp_backend='pallas')
             zeros_x = jnp.zeros_like(qp.q)
+            n_out = pred.f2.shape[0]  # N*py (static)
+            lowrank_kkt = (
+                cfg.qp_kkt_lowrank
+                and cfg.qp_kkt_refine == 0
+                and cfg.qp_backend == "xla"
+                and terminal is None
+                and n_out < horizon * m  # py < m
+            )
             x0 = (
                 warm_x
                 if cfg.qp_warm_start in ("full", "primal")
@@ -604,6 +630,31 @@ def make_control_solver(dictionary: Dictionary, cfg: EngineConfig, ref_fn,
                 )
                 sol = box_solver(qp.P, qp.q, lo, hi, x0, y0, kkt_inv)
                 new_kkt = kkt_inv
+            elif lowrank_kkt:
+                # output-space Woodbury inversion (see qp_kkt_lowrank):
+                #   KKT = D + F2' Qt F2,   D = 2 Rbar + (sigma+rho) I,
+                #   Qt = 2 Qbar,  both block-diagonal
+                #   KKT^{-1} = D^{-1} - D^{-1} F2' S^{-1} F2 D^{-1},
+                #   S = Qt^{-1} + F2 D^{-1} F2'   ((N*py, N*py) SPD)
+                # rho matches solve_box_qp's own scaling (same P).
+                rho = _effective_rho(qp.P, qp_cfg)
+                d_block = 2.0 * params.r_block + (
+                    qp_cfg.sigma + rho
+                ) * jnp.eye(m, dtype=z.dtype)
+                d_block_inv = spd_inverse(d_block)
+                f2r = pred.f2.reshape(n_out, horizon, m)
+                f2d = (f2r @ d_block_inv).reshape(n_out, horizon * m)
+                qt_block_inv = spd_inverse(2.0 * params.q_block)
+                s = jnp.kron(
+                    jnp.eye(horizon, dtype=z.dtype), qt_block_inv
+                ) + f2d @ pred.f2.T
+                s_inv = spd_inverse(s, block=cfg.qp_kkt_block)
+                kkt_inv = jnp.kron(
+                    jnp.eye(horizon, dtype=z.dtype), d_block_inv
+                ) - f2d.T @ (s_inv @ f2d)
+                kkt_inv = 0.5 * (kkt_inv + kkt_inv.T)
+                sol = box_solver(qp.P, qp.q, lo, hi, x0, y0, kkt_inv)
+                new_kkt = kkt_prev
             else:
                 sol = box_solver(qp.P, qp.q, lo, hi, x0, y0)
                 new_kkt = kkt_prev

@@ -238,6 +238,7 @@ def engine_config(cfg: C.RunConfig) -> EngineConfig:
         qp_rho=cfg.mpc.qp_rho,
         qp_unroll=cfg.mpc.qp_unroll,
         qp_kkt_block=cfg.mpc.qp_kkt_block,
+        qp_kkt_lowrank=cfg.mpc.qp_kkt_lowrank,
         qp_kkt_bf16=cfg.mpc.qp_kkt_bf16,
         qp_kkt_refine=cfg.mpc.qp_kkt_refine,
         qp_kkt_reanchor=cfg.mpc.qp_kkt_reanchor,

@@ -100,6 +100,15 @@ def _assert_equiv(cfg, steps=STEPS, tol=1e-6):
         ),
         ("storage", {}, 1e-6),
         ("off", {}, 1e-6),
+        # Woodbury lane: carried Gram inverses + per-step extraction; the
+        # serving controller must thread the extra WindowState statistics
+        # identically (incl. the anchor cond on the episode clock)
+        (
+            "windowed",
+            {"window": 32, "window_carry": "woodbury",
+             "window_anchor": 16, "ridge": 1e-2},
+            1e-6,
+        ),
     ],
 )
 def test_controller_equiv_update_modes(mode, extra, tol):

@@ -499,3 +499,31 @@ def test_applied_bounds_box_matches_rows_single_solve():
         assert np.abs(u - np.asarray(u_prev)).max() <= float(
             params.u_max.max()
         ) + 1e-9
+
+
+def test_qp_kkt_lowrank_matches_dense_inverse():
+    """The output-space Woodbury KKT inversion (py < m) is EXACT: the
+    tank_mimo closed loop with qp_kkt_lowrank on/off produces the same
+    trajectories at f64 (update off isolates the QP path; the KKT inverse
+    itself is also pinned against the dense elimination)."""
+    from koopmanx.control.qp import box_kkt
+    from koopmanx.ops.linalg import spd_inverse
+
+    logs = {}
+    for lowrank in (True, False):
+        cfg = C.tank_mimo_preset()
+        cfg.steps = 40
+        cfg.dtype = "float64"
+        cfg.data = C.DataConfig(
+            n_step=30, n_traj=30, u_range=(-4.0, 4.0), clamp_x0=True
+        )
+        cfg.update = C.UpdateConfig(mode="off")
+        cfg.switch_step = 10**9
+        cfg.mpc.qp_kkt_lowrank = lowrank
+        pipe = build_pipeline(cfg)
+        _, log = run_single(pipe)
+        logs[lowrank] = (np.asarray(log.x), np.asarray(log.u))
+    dx = np.abs(logs[True][0] - logs[False][0]).max()
+    du = np.abs(logs[True][1] - logs[False][1]).max()
+    assert dx < 1e-8, dx
+    assert du < 1e-8, du

@@ -340,3 +340,55 @@ def test_window_bf16_ring_consistency():
                                atol=2e-4)
     model = window_model_carry(st, nlift)
     assert np.isfinite(np.asarray(model.A)).all()
+
+
+def test_window_carry_divergence_recovery():
+    """The Woodbury lane's divergence safeguard: a corrupted carried
+    inverse (the observed f32 blow-up mode) is detected from the polish's
+    free residual and restarted from the Schulz seed; subsequent per-step
+    polish reconverges it — the state NEVER goes non-finite (which would
+    freeze the engine's rls-finiteness guard forever)."""
+    from koopmanx.edmd.windowed import (
+        window_init,
+        window_update_carry,
+    )
+
+    rng = np.random.RandomState(9)
+    w, nlift, m, n = 32, 8, 1, 2
+    ridge = 3e-2
+    st = window_init(w, nlift, m, n, jnp.float32, carry=True, ridge=ridge)
+    step = lambda s: window_update_carry(
+        s,
+        jnp.asarray(rng.randn(nlift), jnp.float32),
+        jnp.asarray(rng.randn(m), jnp.float32),
+        jnp.asarray(rng.randn(nlift), jnp.float32),
+        jnp.asarray(rng.randn(n), jnp.float32),
+        polish=1,
+    )
+    for _ in range(60):
+        st = step(st)
+    # corrupt the carry the way the f32 failure manifests (huge values on
+    # their way to inf)
+    st = st._replace(g_inv=st.g_inv * 1e12)
+    res_hist = []
+    for i in range(60):
+        st = step(st)
+        assert np.isfinite(np.asarray(st.g_inv)).all(), i
+        res = np.abs(
+            np.asarray(st.g, np.float64) @ np.asarray(st.g_inv, np.float64)
+            - np.eye(nlift + m)
+        ).max()
+        res_hist.append(res)
+    # recovered to a working inverse
+    assert res_hist[-1] < 1e-2, res_hist[-5:]
+    # and an already-infinite carry also recovers (where() selects the
+    # seed, SM-on-inf produces NaN that the residual check catches)
+    st = st._replace(g_inv=st.g_inv * np.float32(np.inf))
+    for i in range(60):
+        st = step(st)
+        assert np.isfinite(np.asarray(st.g_inv)).all(), i
+    res = np.abs(
+        np.asarray(st.g, np.float64) @ np.asarray(st.g_inv, np.float64)
+        - np.eye(nlift + m)
+    ).max()
+    assert res < 1e-2, res
