@@ -637,22 +637,29 @@ def make_control_solver(dictionary: Dictionary, cfg: EngineConfig, ref_fn,
                 #   KKT^{-1} = D^{-1} - D^{-1} F2' S^{-1} F2 D^{-1},
                 #   S = Qt^{-1} + F2 D^{-1} F2'   ((N*py, N*py) SPD)
                 # rho matches solve_box_qp's own scaling (same P).
-                rho = _effective_rho(qp.P, qp_cfg)
-                d_block = 2.0 * params.r_block + (
-                    qp_cfg.sigma + rho
-                ) * jnp.eye(m, dtype=z.dtype)
-                d_block_inv = spd_inverse(d_block)
-                f2r = pred.f2.reshape(n_out, horizon, m)
-                f2d = (f2r @ d_block_inv).reshape(n_out, horizon * m)
-                qt_block_inv = spd_inverse(2.0 * params.q_block)
-                s = jnp.kron(
-                    jnp.eye(horizon, dtype=z.dtype), qt_block_inv
-                ) + f2d @ pred.f2.T
-                s_inv = spd_inverse(s, block=cfg.qp_kkt_block)
-                kkt_inv = jnp.kron(
-                    jnp.eye(horizon, dtype=z.dtype), d_block_inv
-                ) - f2d.T @ (s_inv @ f2d)
-                kkt_inv = 0.5 * (kkt_inv + kkt_inv.T)
+                # FULL matmul precision is pinned locally: this block
+                # CONSTRUCTS an inverse (precision-critical, like the
+                # estimator side — TPU-default bf16-pass matmuls here
+                # biased the tank_mimo 3000-step tail by 6e-2 on-chip
+                # while CPU f32 sat at 9e-5; measured 2026-08-21). The
+                # matmuls are a one-per-step microscopic FLOP share.
+                with jax.default_matmul_precision("highest"):
+                    rho = _effective_rho(qp.P, qp_cfg)
+                    d_block = 2.0 * params.r_block + (
+                        qp_cfg.sigma + rho
+                    ) * jnp.eye(m, dtype=z.dtype)
+                    d_block_inv = spd_inverse(d_block)
+                    f2r = pred.f2.reshape(n_out, horizon, m)
+                    f2d = (f2r @ d_block_inv).reshape(n_out, horizon * m)
+                    qt_block_inv = spd_inverse(2.0 * params.q_block)
+                    s = jnp.kron(
+                        jnp.eye(horizon, dtype=z.dtype), qt_block_inv
+                    ) + f2d @ pred.f2.T
+                    s_inv = spd_inverse(s, block=cfg.qp_kkt_block)
+                    kkt_inv = jnp.kron(
+                        jnp.eye(horizon, dtype=z.dtype), d_block_inv
+                    ) - f2d.T @ (s_inv @ f2d)
+                    kkt_inv = 0.5 * (kkt_inv + kkt_inv.T)
                 sol = box_solver(qp.P, qp.q, lo, hi, x0, y0, kkt_inv)
                 new_kkt = kkt_prev
             else:
