@@ -515,13 +515,19 @@ def duffing_rbf128_preset() -> RunConfig:
     # rcond truncation leaves a ~0.09 steady tracking offset (its bias);
     # the exact solve is unstable (rho(A)=6.5 — noise-dominated weak
     # directions); scratch 128-dim sqrt-RLS wanders; the SLIDING WINDOW
-    # refits from recent (local) closed-loop data and lands at 5e-4 —
-    # at large lift the windowed estimator is the bias-correction
-    # mechanism, not just the f32-robustness one. Its per-step Schulz
-    # chains are (129,129) matmuls — MXU-shaped at this size, unlike the
-    # tank's (11,11) (BENCHMARKS.md tiny-shape negatives don't apply).
+    # refits from recent (local) closed-loop data — at large lift the
+    # windowed estimator is the bias-correction mechanism, not just the
+    # f32-robustness one.
+    # Round 5: the WOODBURY lane is the default at this size — exact
+    # rank-2 carried statistics instead of per-step (129,129) Schulz
+    # chains: on-chip 3000-step sse 3.6e-4 vs 1.3e-2 (chains every-step)
+    # / 2.1e-2 (chains cadence-8), at 24.1 ms/step real-time, batch 1024
+    # (BENCHMARKS.md round-5 Woodbury study; ridge 1.0 + polish 2 is the
+    # swept healthy operating point — the 3e-2 chain-ridge leaves the
+    # exact inverse noise-dominated on rank-starved closed-loop windows).
     cfg.update = UpdateConfig(
-        mode="windowed", window=256, ridge=3e-2, c_pairing="next"
+        mode="windowed", window=256, ridge=1.0, c_pairing="next",
+        window_carry="woodbury", window_polish=2,
     )
     return cfg
 
@@ -607,10 +613,33 @@ def vanderpol_selftrained_preset() -> RunConfig:
     return cfg
 
 
+def pendulum_selftrained_preset() -> RunConfig:
+    """Self-contained pendulum: the in-repo KMAE encoder trained on the
+    transcendental plant (a system family the reference never trained on
+    — capability match: DeepLearning_KoopmanControl_Approach3.py:462-566
+    applied beyond its two systems). Round-5 measured split
+    (BENCHMARKS.md): the analytic 12-dim thinplate preset wins the
+    open-loop 500-step RMSE (0.0080 vs 0.0097) while THIS encoder wins
+    the closed loop (2000-step tail err 2.5e-3 vs 6.6e-3) — each preset
+    ships its winning metric, the duffing/VDP `*_selftrained` pattern."""
+    import os
+
+    cfg = pendulum_preset()
+    cfg.lift = LiftConfig(
+        kind="mlp", nlift=8, normalize=True,
+        weights_path=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "artifacts", "pendulum_kmae_refscale_s1_encoder.mat",
+        ),
+    )
+    return cfg
+
+
 PRESETS = {
     "duffing": duffing_nn_preset,
     "duffing_selftrained": duffing_selftrained_preset,
     "vanderpol_selftrained": vanderpol_selftrained_preset,
+    "pendulum_selftrained": pendulum_selftrained_preset,
     "duffing_rbf": duffing_rbf_preset,
     "duffing_rbf128": duffing_rbf128_preset,
     "duffing_rff": duffing_rff_preset,

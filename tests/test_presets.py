@@ -202,3 +202,32 @@ def test_toy1d_multi_ic_openloop_recovery():
     avg_mae_per_step = err.mean(axis=0)  # the script's plotted series
     assert np.isfinite(err).all()
     assert avg_mae_per_step.max() < 0.1, avg_mae_per_step.ravel()
+
+
+def test_pendulum_selftrained_closed_loop_beats_analytic():
+    """Round-5 L7 breadth: the in-repo KMAE encoder trained on the
+    transcendental pendulum (a plant family the reference never trained
+    on) must hold its measured closed-loop win over the analytic
+    thinplate preset (2000-step tail 2.5e-3 vs 6.6e-3, BENCHMARKS.md).
+    Gated at 600 steps/CPU-scale: finite, tracks, and at least matches
+    the analytic preset's tail on the identical scenario."""
+    import os
+
+    art = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts", "pendulum_kmae_refscale_s1_encoder.mat",
+    )
+    if not os.path.exists(art):
+        import pytest
+
+        pytest.skip("pendulum KMAE artifact not present")
+    tails = {}
+    for name in ("pendulum", "pendulum_selftrained"):
+        cfg = C.PRESETS[name]()
+        cfg.steps = 600
+        pipe = build_pipeline(cfg)
+        _, log = run_single(pipe)
+        x = np.asarray(log.x)
+        assert np.isfinite(x).all()
+        tails[name] = abs(x[-60:, 0].mean() - 1.0)
+    assert tails["pendulum_selftrained"] <= tails["pendulum"] * 1.2 + 1e-4, tails

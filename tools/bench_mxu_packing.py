@@ -64,11 +64,14 @@ def loop_time(fn, *args, reps=3):
 
     def run_fn(*ops):
         def body(c, _):
-            perturbed = ops[0] + (1e-9 * c) * jnp.eye(
+            # material perturbation + 1e-20 coupling: the 1e-9/1e-30
+            # constants let the backend elide the whole body (see
+            # tools/probe_lu_elision.py and the round-5 harness study)
+            perturbed = ops[0] + (1e-6 * (1.0 + c)) * jnp.eye(
                 ops[0].shape[-1], dtype=ops[0].dtype
             )
             out = fn(perturbed, *ops[1:])
-            return c + jnp.sum(out) * 1e-30, None
+            return c + jnp.sum(out) * 1e-20, None
 
         return jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)[0]
 

@@ -125,20 +125,22 @@ def loop_time(fn, k, x0=None, reps=3):
 
     def body_of(kin, x0in):
         def body(c, _):
-            # defeat LICM with an ADDITIVE diagonal perturbation: the
+            # defeat LICM with an ADDITIVE diagonal perturbation — the
             # earlier scalar multiply kin * (1 + eps*c) is algebraically
-            # invertible (inv(sK) = inv(K)/s), which let XLA hoist the
-            # whole inverse out of the loop — the real mechanism behind
-            # the 0.001 ms lu_inv row (BENCHMARKS.md n=129 caveat)
+            # invertible (inv(sK) = inv(K)/s) — at a MATERIAL scale: with
+            # eps ~1e-9 * (c ~1e-26) the perturbation underflowed and the
+            # backend still elided the op (probe_lu_elision.py: iters
+            # scaling only appears with a material perturbation + 1e-20
+            # coupling; with those, LU measures 12.9 ms/iter at
+            # (2048,20,20), matching the round-1 number)
             n_ = kin.shape[-1]
-            kk = kin + (1e-9 * c) * jnp.eye(n_, dtype=kin.dtype)
+            kk = kin + (1e-6 * (1.0 + c)) * jnp.eye(n_, dtype=kin.dtype)
             out = fn(kk) if x0in is None else fn(kk, x0in)
             # consume EVERY element of the result into the timing
-            # dependency chain: a single-element read let XLA dead-code-
-            # eliminate candidates whose output it could slice through
-            # (the lu_inv row read 0.001 ms under scan — the custom call
-            # was never executed; BENCHMARKS.md n=129 caveat)
-            return c + jnp.sum(out) * 1e-30, None
+            # dependency chain; the 1e-20 coupling keeps the checksum
+            # nonzero in f32 (1e-30 rounded to no-op and re-enabled the
+            # elision)
+            return c + jnp.sum(out) * 1e-20, None
 
         return body
 
