@@ -67,7 +67,7 @@ def loop_time(fn, *args, reps=3):
             # material perturbation + 1e-20 coupling: the 1e-9/1e-30
             # constants let the backend elide the whole body (see
             # tools/probe_lu_elision.py and the round-5 harness study)
-            perturbed = ops[0] + (1e-6 * (1.0 + c)) * jnp.eye(
+            perturbed = ops[0] + (3e-2 * (1.0 + c)) * jnp.eye(
                 ops[0].shape[-1], dtype=ops[0].dtype
             )
             out = fn(perturbed, *ops[1:])

@@ -127,14 +127,17 @@ def loop_time(fn, k, x0=None, reps=3):
         def body(c, _):
             # defeat LICM with an ADDITIVE diagonal perturbation — the
             # earlier scalar multiply kin * (1 + eps*c) is algebraically
-            # invertible (inv(sK) = inv(K)/s) — at a MATERIAL scale: with
-            # eps ~1e-9 * (c ~1e-26) the perturbation underflowed and the
-            # backend still elided the op (probe_lu_elision.py: iters
+            # invertible (inv(sK) = inv(K)/s) — at a REPRESENTABLE scale: a
+            # 1e-6 diagonal shift is sub-ULP for f32 entries O(300), so
+            # the loop body is bit-invariant and XLA legally hoists the
+            # whole op (the 0.001 ms lu_inv rows); 3e-2 is ~1e-4 relative
+            # on the diagonal (representable) and 0.01% of lambda_max
+            # (timing-neutral) (probe_lu_elision.py: iters
             # scaling only appears with a material perturbation + 1e-20
             # coupling; with those, LU measures 12.9 ms/iter at
             # (2048,20,20), matching the round-1 number)
             n_ = kin.shape[-1]
-            kk = kin + (1e-6 * (1.0 + c)) * jnp.eye(n_, dtype=kin.dtype)
+            kk = kin + (3e-2 * (1.0 + c)) * jnp.eye(n_, dtype=kin.dtype)
             out = fn(kk) if x0in is None else fn(kk, x0in)
             # consume EVERY element of the result into the timing
             # dependency chain; the 1e-20 coupling keeps the checksum

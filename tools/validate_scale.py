@@ -61,6 +61,8 @@ def main():
         cfg.update.window_store = os.environ["W_STORE"]
     if os.environ.get("KKT_BLOCK"):
         cfg.mpc.qp_kkt_block = int(os.environ["KKT_BLOCK"])
+    if os.environ.get("KKT_BF16"):
+        cfg.mpc.qp_kkt_bf16 = bool(int(os.environ["KKT_BF16"]))
     if os.environ.get("APPLIED_BOUNDS"):
         cfg.mpc.applied_bounds = os.environ["APPLIED_BOUNDS"]
     if os.environ.get("SWITCH"):
