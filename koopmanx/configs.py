@@ -391,9 +391,15 @@ def duffing_rff_preset() -> RunConfig:
     )
     # sliding window over the storage method: the all-history refit keeps
     # drifting the 34-dim RFF model at reference length (3000-step f32
-    # sse 0.024, final |dA| 0.53); the window pins it at 3e-5
+    # sse 0.024, final |dA| 0.53); the window pins it.
+    # Round 5: the WOODBURY lane (ridge 0.3, polish 2) replaces the
+    # every-step (35,35) Schulz chains: on-chip 3000-step sse 1.5e-4 ==
+    # the chain lane's every-step quality at 1.7x its speed (68.6 vs
+    # 116 ms/step at batch 8192; real-time at <=4096), with no cadence
+    # staleness (the 47 ms cadence-8 point cost 7.4e-3 sse).
     cfg.update = UpdateConfig(
-        mode="windowed", window=256, ridge=3e-2, c_pairing="next"
+        mode="windowed", window=256, ridge=0.3, c_pairing="next",
+        window_carry="woodbury", window_polish=2,
     )
     return cfg
 
