@@ -71,7 +71,9 @@ def loop_time(fn, *args, reps=3):
                 ops[0].shape[-1], dtype=ops[0].dtype
             )
             out = fn(perturbed, *ops[1:])
-            return c + jnp.sum(out) * 1e-20, None
+            # accumulate MOD 1 so the perturbation materially
+            # changes every iteration (see bench_spd_inverse.py)
+            return jnp.mod(c + jnp.sum(out) * 1e-3, 1.0), None
 
         return jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)[0]
 

@@ -143,7 +143,12 @@ def loop_time(fn, k, x0=None, reps=3):
             # dependency chain; the 1e-20 coupling keeps the checksum
             # nonzero in f32 (1e-30 rounded to no-op and re-enabled the
             # elision)
-            return c + jnp.sum(out) * 1e-20, None
+            # accumulate MOD 1: c must change by a REPRESENTABLE
+            # amount each iteration (with a 1e-20 coupling the
+            # carry's increment vanishes in f32 and the perturbation
+            # value repeats bit-exactly -> the body is loop-
+            # invariant again and simple matmul chains get hoisted)
+            return jnp.mod(c + jnp.sum(out) * 1e-3, 1.0), None
 
         return body
 
