@@ -94,3 +94,48 @@ def test_sharded_closed_loop_matches_vmap(mesh8):
     np.testing.assert_allclose(
         np.asarray(logs_shard.u), np.asarray(logs_vmap.u), atol=1e-4
     )
+
+
+def test_sharded_closed_loop_woodbury_estimator(mesh8):
+    """The Woodbury windowed lane's extended WindowState (carried Grams,
+    inverses, cross-Grams) shards over the scenario mesh like any other
+    estimator carry: shard_map == vmap on a tank_mimo-style multi-input
+    loop with window_carry='woodbury'."""
+    cfg = C.tank_mimo_preset()
+    cfg.steps = 20
+    cfg.dtype = "float64"
+    cfg.data = C.DataConfig(
+        n_step=30, n_traj=30, u_range=(-4.0, 4.0), clamp_x0=True
+    )
+    cfg.update.window_carry = "woodbury"
+    cfg.update.ridge = 0.1
+    pipe = build_pipeline(cfg)
+    batch = sample_scenarios(
+        get_system("tank_mimo"), jax.random.PRNGKey(2), batch=16,
+        param_scale=0.05, x0_range=(0.1, 0.9), dtype=jnp.float64,
+    )
+    rep = lambda v: jnp.broadcast_to(v, (16,) + v.shape)
+    params_b = jax.tree_util.tree_map(rep, pipe.params)
+    model_b = jax.tree_util.tree_map(rep, pipe.model0)
+    rls_b = jax.tree_util.tree_map(rep, pipe.rls0)
+
+    from koopmanx.engine.loop import run_batch
+
+    _, logs_vmap = run_batch(
+        pipe.closed_loop, params_b, batch.x0, model_b, rls_b,
+        batch.theta0, batch.theta1,
+    )
+    _, logs_shard = sharded_closed_loop(
+        pipe.closed_loop,
+        mesh8,
+        shard_batch(params_b, mesh8),
+        shard_batch(batch.x0, mesh8),
+        shard_batch(model_b, mesh8),
+        shard_batch(rls_b, mesh8),
+        shard_batch(batch.theta0, mesh8),
+        shard_batch(batch.theta1, mesh8),
+    )
+    np.testing.assert_allclose(
+        np.asarray(logs_shard.x), np.asarray(logs_vmap.x), atol=1e-6
+    )
+    assert np.isfinite(np.asarray(logs_shard.x)).all()
