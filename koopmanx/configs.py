@@ -82,7 +82,10 @@ class MPCConfig:
     # augmented matrix ceil(n/r) times instead of n. block=4 measured 2.1x
     # the scalar elimination at (2048,20,20) and 2.2x at (8192,40,40) with
     # equal-or-better f32 residuals (round-5 kernel study) — the default;
-    # 1 = the round-1 scalar kernel.
+    # 1 = the round-1 scalar kernel. The duffing/vanderpol presets run 8
+    # (another +3.5% end-to-end, full-length-validated there); the tank
+    # family keeps 4 (a block-8 tank validation degraded within historical
+    # spread — not adopted without a cleaner margin).
     qp_kkt_block: int = 4
     qp_kkt_bf16: bool = False  # stream the KKT inverse at bf16 (see ADMMConfig)
     # carried Newton-Schulz KKT inverse (box path): >0 = NS iterations per
@@ -209,7 +212,11 @@ def duffing_nn_preset() -> RunConfig:
         system="duffing",
         steps=10000,
         switch_step=10**9,  # the Python Duffing switch is inert (SURVEY §2.1)
-        mpc=MPCConfig(horizon=10, q_weight=100.0, r_weight=1e-4, u_min=-2, u_max=2),
+        # qp_kkt_block=8: +3.5% headline over the global block-4 default
+        # (1.709M vs 1.652M solves/s at batch 8192), full-length 10k-step
+        # f32 validation green (round-5 sweep)
+        mpc=MPCConfig(horizon=10, q_weight=100.0, r_weight=1e-4, u_min=-2,
+                      u_max=2, qp_kkt_block=8),
         # scenario constants are the reference's; the estimator implementation
         # defaults to the f32-robust sqrt form (the raw SM recursion is only
         # viable in float64 — set mode="rls" + dtype="float64" for strict
