@@ -238,9 +238,11 @@ def vdp_lifted_preset() -> RunConfig:
         system="vanderpol",
         steps=10000,
         switch_step=100,
+        # qp_kkt_block=8: +3.4% (964.3k vs 933k solves/s at batch 8192),
+        # 1000-step f32 validation 1.86e-3 (round-5 sweep)
         mpc=MPCConfig(
             horizon=10, q_weight=100.0, r_weight=1e-4, u_min=-6, u_max=6,
-            track_lifted=True,
+            track_lifted=True, qp_kkt_block=8,
         ),
         update=UpdateConfig(
             mode="rls_sqrt", ridge=1e-2, c_ab=1e5, c_c=1e5, c_pairing="next"
